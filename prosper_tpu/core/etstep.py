@@ -1,0 +1,236 @@
+"""The Expectation-Truncation E-step for linear-superposition models.
+
+Covers BSC (binary), TSC (ternary) and DSC (discrete) — every model with
+``ybar = W @ s`` and isotropic Gaussian noise.  Reference behavior:
+SURVEY.md §2 rows "BSC-ET"/"TSC-ET"/"DSC-ET" and §3.1's hot loop
+(prosper/em/camodels/{bsc_et,tsc_et,dsc_et}.py — mount unavailable).
+
+TPU-first formulation (NOT the reference's layout)
+--------------------------------------------------
+The reference gathers a per-datapoint dictionary ``W[:, candidates_n]`` and
+computes ``(N, S, D)`` reconstructions.  On TPU we avoid both:
+
+  ||y - W s||^2 = ||y||^2 - 2 s.(Wc^T y) + s.(Wc^T Wc).s
+
+  * ``P = y @ W``            one large (N,D)x(D,H) MXU GEMM, also reused for
+                             candidate selection,
+  * ``proj = P[n, cand]``    gather of N*Hp scalars,
+  * ``G = (W^T W)[cand,cand]`` gather of N*Hp^2 scalars from a once-per-step
+                             (H,H) Gram matrix,
+  * state likelihoods        two small GEMMs: (N,Hp)x(Hp,S) and
+                             (N,Hp^2)x(Hp^2,S) using the precomputed
+                             per-state outer products (states.outer),
+  * suff stats               (N,S)x(S,Hp) / (S,Hp^2) GEMMs + scatter-adds.
+
+Nothing of size (N,S,D) ever exists; the big tensors are (N,S) logits per
+chunk.  The truncated set per datapoint is the ET union
+``{0} ∪ {singletons over ALL H units × K values} ∪ {multi states over the
+H' candidates}`` with the zero/singleton parts handled in closed form
+(SURVEY.md §2 "ET base": "zero and singleton states handled analytically").
+
+Chunking: datapoints are processed in static-size chunks via ``lax.scan``
+with online accumulation, bounding HBM residency at
+O(chunk * (S + H + H*K)) regardless of shard size.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from prosper_tpu.core.select import top_hprime_candidates
+
+
+class LinearStateArrays(NamedTuple):
+    """Device-resident static enumeration (from core.states.StateSpace)."""
+    states: jnp.ndarray        # (S, Hp)
+    outer: jnp.ndarray         # (S, Hp*Hp)
+    abs_states: jnp.ndarray    # (S,)
+    value_counts: jnp.ndarray  # (S, K)
+    values: jnp.ndarray        # (K,)
+
+
+def state_arrays_from(space) -> LinearStateArrays:
+    return LinearStateArrays(
+        states=jnp.asarray(space.states),
+        outer=jnp.asarray(space.outer),
+        abs_states=jnp.asarray(space.abs_states),
+        value_counts=jnp.asarray(space.value_counts),
+        values=jnp.asarray(space.values),
+    )
+
+
+def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArrays,
+                  Hp: int, signed_select: bool, beta, prior_beta):
+    """E-statistics for one chunk of datapoints.
+
+    y : (C, D), w : (C,) accumulation weights (Ncut/partial/padding mask).
+    Returns (F, partial-sum pytree).  F is the per-datapoint truncated
+    log-pseudo-likelihood *including* all constant terms (used for logging
+    free energy and for the next iteration's Ncut ranking).
+    """
+    C, D = y.shape
+    H = W.shape[1]
+    K = sa.values.shape[0]
+    S = sa.states.shape[0]
+    f32 = jnp.float32
+
+    inv2s2 = 0.5 / sigma2
+    P = jnp.dot(y, W, preferred_element_type=f32)                      # (C, H)
+    w_norm = jnp.sqrt(jnp.maximum(gram_diag, 1e-30))
+    cand = top_hprime_candidates(P, w_norm, Hp, signed_select)          # (C, Hp)
+
+    proj = jnp.take_along_axis(P, cand, axis=1)                         # (C, Hp)
+    G = gram[cand[:, :, None], cand[:, None, :]]                        # (C, Hp, Hp)
+    Gf = G.reshape(C, Hp * Hp)
+
+    # ---- log pseudo-joint over the truncated union --------------------------
+    lik_multi = (2.0 * jnp.dot(proj, sa.states.T, preferred_element_type=f32)
+                 - jnp.dot(Gf, sa.outer.T, preferred_element_type=f32)) * inv2s2
+    prior_multi = sa.value_counts @ log_odds                            # (S,)
+    logits_multi = beta * lik_multi + prior_beta * prior_multi[None, :]
+
+    # singletons over ALL H units, one per non-zero value
+    v = sa.values                                                       # (K,)
+    lik_single = (2.0 * P[:, :, None] * v[None, None, :]
+                  - gram_diag[None, :, None] * (v ** 2)[None, None, :]) * inv2s2
+    logits_single = beta * lik_single + prior_beta * log_odds[None, None, :]
+    logits_single = logits_single.reshape(C, H * K)
+
+    zero_logit = jnp.zeros((C, 1), f32)
+    logits = jnp.concatenate([zero_logit, logits_single, logits_multi], axis=1)
+
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.exp(logits - m)
+    Z = jnp.sum(p, axis=1, keepdims=True)
+    q = p / Z                                                            # posterior
+    logZ = (m + jnp.log(Z))[:, 0]
+
+    y2 = jnp.sum(y * y, axis=1)                                          # (C,)
+    log_p0 = -jnp.log1p(jnp.sum(jnp.exp(log_odds)))  # log pi_0 from odds
+    log_norm = 0.5 * D * jnp.log(2.0 * jnp.pi * sigma2)
+    const = -beta * (y2 * inv2s2) - beta * log_norm + prior_beta * H * log_p0
+    F = logZ + const                                                     # (C,)
+
+    # un-annealed truncated log-likelihood (beta = prior_beta = 1): the
+    # temperature-comparable free energy used for logging / monotonicity
+    logits_true = jnp.concatenate(
+        [zero_logit,
+         (lik_single + log_odds[None, None, :]).reshape(C, H * K),
+         lik_multi + prior_multi[None, :]], axis=1)
+    F_true = (jax.nn.logsumexp(logits_true, axis=1)
+              - y2 * inv2s2 - log_norm + H * log_p0)
+
+    # ---- sufficient statistics ---------------------------------------------
+    q_single = q[:, 1:1 + H * K].reshape(C, H, K)
+    q_multi = q[:, 1 + H * K:]
+
+    s_single = q_single @ v                                              # (C, H)
+    ss_diag_single = q_single @ (v ** 2)                                 # (C, H)
+    s_cand = jnp.dot(q_multi, sa.states, preferred_element_type=f32)     # (C, Hp)
+    ss_cand = jnp.dot(q_multi, sa.outer, preferred_element_type=f32)     # (C, Hp^2)
+
+    # flat 1-D scatters (XLA lowers these far better than broadcasting-index
+    # scatters, which showed pathological compile times on some backends)
+    row_base = jnp.arange(C, dtype=jnp.int32)[:, None] * H
+    s_flat_idx = (row_base + cand).reshape(-1)
+    s_full = (s_single.reshape(-1).at[s_flat_idx].add(s_cand.reshape(-1))
+              .reshape(C, H))                                            # (C, H)
+
+    wv = w.astype(f32)
+    sw = s_full * wv[:, None]
+    sum_xs = jnp.dot(y.T, sw, preferred_element_type=f32)                # (D, H)
+    sum_s = jnp.sum(sw, axis=0)                                          # (H,)
+    sum_ss_diag = jnp.sum(ss_diag_single * wv[:, None], axis=0)          # (H,)
+
+    ss_flat_idx = (cand[:, :, None] * H + cand[:, None, :]).reshape(-1)
+    ss3 = (ss_cand.reshape(C, Hp, Hp) * wv[:, None, None]).reshape(-1)
+    sum_ss = jnp.zeros((H * H,), f32).at[ss_flat_idx].add(ss3).reshape(H, H)
+    sum_ss = sum_ss + jnp.diag(sum_ss_diag)                              # (H, H)
+
+    abs_n = (jnp.sum(q_single, axis=(1, 2))
+             + jnp.dot(q_multi, sa.abs_states, preferred_element_type=f32))
+    sum_abs = jnp.sum(abs_n * wv)
+    vc_n = jnp.sum(q_single, axis=1) + jnp.dot(q_multi, sa.value_counts,
+                                               preferred_element_type=f32)  # (C,K)
+    sum_vc = jnp.sum(vc_n * wv[:, None], axis=0)                         # (K,)
+
+    sums = dict(
+        xs=sum_xs, ss=sum_ss, s=sum_s, abs=sum_abs, vc=sum_vc,
+        y2=jnp.sum(y2 * wv), n=jnp.sum(wv), F=jnp.sum(F * wv),
+        F_true=jnp.sum(F_true * wv),
+    )
+    return F, sums
+
+
+def linear_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
+                    sigma2, log_odds: jnp.ndarray, sa: LinearStateArrays,
+                    Hp: int, signed_select: bool, beta, prior_beta,
+                    chunk: int = 2048) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Full-shard E-step with chunked online accumulation.
+
+    Returns (F_per_datapoint (N,), summed-suff-stats dict).  The chunk size
+    is static; N must be a multiple of it unless N <= chunk (pad upstream
+    with ``weight==0`` rows — see data loaders).
+    """
+    N, D = y.shape
+    H = W.shape[1]
+    gram = jnp.dot(W.T, W, preferred_element_type=jnp.float32)           # (H, H)
+    gram_diag = jnp.diagonal(gram)
+
+    body = partial(_chunk_estats, W=W, gram=gram, gram_diag=gram_diag,
+                   sigma2=sigma2, log_odds=log_odds, sa=sa, Hp=Hp,
+                   signed_select=signed_select, beta=beta, prior_beta=prior_beta)
+
+    if N <= chunk:
+        return body(y, weight)
+
+    if N % chunk != 0:
+        raise ValueError(f"shard size {N} not a multiple of chunk {chunk}; "
+                         "pad the shard (loaders do this) or pick another chunk")
+    nchunks = N // chunk
+    yc = y.reshape(nchunks, chunk, D)
+    wc = weight.reshape(nchunks, chunk)
+
+    def scan_body(carry, xs):
+        y_i, w_i = xs
+        F_i, sums_i = body(y_i, w_i)
+        carry = jax.tree_util.tree_map(jnp.add, carry, sums_i)
+        return carry, F_i
+
+    zeros = dict(
+        xs=jnp.zeros((D, H), jnp.float32), ss=jnp.zeros((H, H), jnp.float32),
+        s=jnp.zeros((H,), jnp.float32), abs=jnp.float32(0.0),
+        vc=jnp.zeros_like(log_odds), y2=jnp.float32(0.0),
+        n=jnp.float32(0.0), F=jnp.float32(0.0), F_true=jnp.float32(0.0),
+    )
+    sums, F = jax.lax.scan(scan_body, zeros, (yc, wc))
+    return F.reshape(N), sums
+
+
+def truncated_prior_logmass(log_pi_active, H: int, gamma: int):
+    """log A_gamma and log B_gamma for the ET corrections, in log space.
+
+    A = sum_{k<=gamma} C(H,k) pi_a^k (1-pi_a)^(H-k)   (prior mass of |s|<=gamma)
+    B = sum_{k<=gamma} k * C(H,k) pi_a^k (1-pi_a)^(H-k)  (so B/A = E_trunc|s|)
+
+    where pi_a is the probability that a unit is active (sum over non-zero
+    values).  Used by the pi M-step correction and the Ncut keep fraction
+    (SURVEY.md §2 "BSC-ET" M-step row: "ET correction factor").
+    """
+    from scipy.special import gammaln
+    ks = jnp.arange(gamma + 1, dtype=jnp.float32)
+    log_comb = jnp.asarray(
+        [float(gammaln(H + 1) - gammaln(k + 1) - gammaln(H - k + 1))
+         for k in range(gamma + 1)], jnp.float32)
+    log_1m = jnp.log(-jnp.expm1(jnp.minimum(log_pi_active, -1e-8)))
+    terms = log_comb + ks * log_pi_active + (H - ks) * log_1m
+    logA = jax.nn.logsumexp(terms)
+    # B: k=0 term vanishes; add log k for k>=1
+    logk = jnp.log(jnp.maximum(ks, 1.0))
+    termsB = jnp.where(ks >= 1, terms + logk, -jnp.inf)
+    logB = jax.nn.logsumexp(termsB)
+    return logA, logB

@@ -1,0 +1,116 @@
+"""Candidate pre-selection and data sub-selection (static shapes, mask-based).
+
+Reference behavior: SURVEY.md §2 "ET base" —
+  * ``select_Hprimes``: per-datapoint top-H' candidate latents by a W-vs-y
+    affinity score (prosper/em/camodels/__init__.py).
+  * ``select_partial_data``: random sub-sampling by the ``anneal['partial']``
+    fraction, plus the ET "Ncut" cut keeping the best-explained datapoints
+    as ``anneal['Ncut_factor']`` ramps up.
+
+TPU-native design: the reference uses boolean indexing (dynamic shapes).
+Under jit everything must stay statically shaped, so both mechanisms become
+*masks* over the full shard:
+  * ``partial`` -> an exact-count random mask (top-k over iid uniforms),
+  * Ncut       -> a global free-energy quantile threshold computed with a
+    psum'd histogram bisection (deterministic and identical on every device,
+    preserving the reference's SPMD-determinism property).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from prosper_tpu.parallel.mesh import maybe_pmax, maybe_pmin, maybe_psum
+
+
+def top_hprime_candidates(P_full: jnp.ndarray, w_norm: jnp.ndarray, Hp: int,
+                          signed: bool) -> jnp.ndarray:
+    """Per-datapoint top-H' candidate units.
+
+    P_full : (N, H) full projection y @ W (shared with the E-step).
+    w_norm : (H,) column norms of W.
+    signed : score by |correlation| (models whose latents can flip sign:
+             TSC/DSC with negative values, MMCA) vs plain correlation
+             (non-negative latents: BSC, MCA).
+
+    Returns (N, Hp) int32 candidate indices (descending score; ties by index).
+    """
+    score = P_full / jnp.maximum(w_norm, 1e-12)[None, :]
+    if signed:
+        score = jnp.abs(score)
+    _, idx = jax.lax.top_k(score, Hp)
+    return idx.astype(jnp.int32)
+
+
+def exact_count_mask(rng: jax.Array, N: int, frac) -> jnp.ndarray:
+    """Random {0,1} mask with exactly ceil(frac*N) ones (static shapes).
+
+    Equivalent of the reference's random permutation subset in
+    ``select_partial_data`` — realised as a threshold on iid uniforms so the
+    kept *count* is exact while shapes stay static.
+    """
+    u = jax.random.uniform(rng, (N,))
+    k = jnp.ceil(frac * N).astype(jnp.int32)
+    k = jnp.clip(k, 1, N)
+    # threshold = k-th largest uniform -> exactly k survivors
+    sorted_u = jnp.sort(u)[::-1]
+    thresh = sorted_u[jnp.clip(k - 1, 0, N - 1)]
+    return (u >= thresh).astype(jnp.float32)
+
+
+def global_quantile_threshold(values: jnp.ndarray,
+                              valid: jnp.ndarray,
+                              keep_count: jnp.ndarray,
+                              axis_name: Optional[str],
+                              rounds: int = 3,
+                              bins: int = 128) -> jnp.ndarray:
+    """Threshold t s.t. ~``keep_count`` of the globally-valid ``values`` are >= t.
+
+    Deterministic histogram bisection: every device computes identical psum'd
+    histograms, so every device derives the identical threshold — the mask is
+    then a local comparison.  Accuracy after r rounds: range / bins**r.
+
+    values : (N,) per-datapoint scores (higher = better explained).
+    valid  : (N,) {0,1} which entries participate (partial-mask etc).
+    keep_count : scalar — global number of datapoints to keep.
+    """
+    big = jnp.float32(3e38)
+    v = jnp.where(valid > 0, values, -big)
+    lo = maybe_pmin(jnp.min(jnp.where(valid > 0, values, big)), axis_name)
+    hi = maybe_pmax(jnp.max(v), axis_name)
+    hi = hi + jnp.maximum(1e-6, 1e-6 * jnp.abs(hi))  # open upper edge
+
+    def round_body(_, carry):
+        lo, hi = carry
+        width = jnp.maximum((hi - lo) / bins, 1e-30)
+        idx = jnp.clip(jnp.floor((v - lo) / width), 0, bins - 1).astype(jnp.int32)
+        onehot = jax.nn.one_hot(idx, bins, dtype=jnp.float32) * valid[:, None]
+        hist = maybe_psum(jnp.sum(onehot, axis=0), axis_name)          # (bins,)
+        tail = jnp.cumsum(hist[::-1])[::-1]                            # #points in bins >= b
+        # largest bin index whose tail still covers keep_count
+        bidx = jnp.arange(bins)
+        ok = tail >= keep_count
+        b_star = jnp.max(jnp.where(ok, bidx, 0))
+        new_lo = lo + b_star * width
+        new_hi = new_lo + width
+        return new_lo, new_hi
+
+    lo, hi = jax.lax.fori_loop(0, rounds, round_body, (lo, hi))
+    return lo
+
+
+def ncut_keep_count(N_total, Ncut_factor, log_A_gamma):
+    """Global number of datapoints to keep under the ET data cut.
+
+    As ``Ncut_factor`` ramps 0 -> 1, the kept fraction ramps from 1 down to
+    A_gamma(pi) — the prior mass of the truncated state space, i.e. the
+    fraction of data the truncated model can explain (ET paper prescription;
+    SURVEY.md §2 "select_partial_data", confidence [M] — reference mount
+    unavailable).
+    """
+    A = jnp.exp(log_A_gamma)
+    frac = 1.0 - (1.0 - A) * Ncut_factor
+    return jnp.ceil(frac * N_total)

@@ -1,0 +1,108 @@
+"""The EM training driver.
+
+Reference behavior: SURVEY.md §2 "EM engine" — ``prosper/em/__init__.py ::
+EM`` (mount unavailable): holds model/anneal/data/lparams, and ``run()``
+loops ``model.step`` + ``dlog.append_all`` + ``anneal.next`` until the
+schedule is finished.
+
+TPU-native design: the outer loop stays in Python (annealing, logging and
+checkpointing are host concerns — SURVEY.md §7 "engine/em.py"); the entire
+inner iteration (noisify -> masks -> E-step -> psum -> M-step) is ONE jitted
+function, optionally shard_map'd over a device mesh by MeshRuntime.  Anneal
+values enter as traced scalars, so the whole training run compiles exactly
+once.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prosper_tpu.models.base import make_blank_data, sched_from_anneal
+
+
+class EM:
+    """EM training loop.
+
+    Parameters
+    ----------
+    model : ETModel
+    anneal : LinearAnnealing
+    data : dict with 'y' (N, D) (and optional 'valid'); will be wrapped and,
+        when a runtime is given, sharded over the mesh data axis.
+    params : initial parameter pytree; defaults to model.standard_init(data).
+    runtime : optional MeshRuntime for multi-device data parallelism.
+    dlog : optional DataLog; per-iteration channels are appended to it.
+    log_params_every : also log full W snapshots every k iterations
+        (the reference logs W every iteration; for big models that is pure
+        HBM->host traffic, so it is rate-limited here; set 1 for parity).
+    """
+
+    def __init__(self, model, anneal, data: Dict, params: Optional[Dict] = None,
+                 runtime=None, dlog=None, seed: int = 42,
+                 log_params_every: int = 1):
+        self.model = model
+        self.anneal = anneal
+        self.runtime = runtime
+        self.dlog = dlog
+        self.log_params_every = log_params_every
+        self.rng = jax.random.PRNGKey(seed)
+
+        if "F_prev" not in data:
+            data = make_blank_data(data["y"], data.get("valid"))
+        if params is None:
+            params = model.standard_init(data)
+
+        if runtime is not None:
+            self.data = runtime.shard_data(data)
+            self.params = runtime.replicate(params)
+            self._step = runtime.shard_step(model.step_fn)
+        else:
+            self.data = data
+            self.params = params
+            self._step = model.jit_step()
+
+        self.history: list = []
+
+    def run(self, verbose: bool = False) -> Dict:
+        """Run until the annealing schedule is exhausted; returns params."""
+        while not self.anneal.finished:
+            self.step_once(verbose=verbose)
+        return self.params
+
+    def step_once(self, verbose: bool = False) -> Dict:
+        t0 = time.perf_counter()
+        sched = sched_from_anneal(self.anneal)
+        self.rng, sub = jax.random.split(self.rng)
+        params, F, scalars = self._step(self.params, self.data, sched, sub)
+        self.params = params
+        self.data = dict(self.data, F_prev=F)
+
+        scalars = {k: float(jax.device_get(v)) for k, v in scalars.items()}
+        scalars["iteration"] = self.anneal.position
+        scalars["T"] = float(self.anneal["T"])
+        scalars["dt"] = time.perf_counter() - t0
+        self.history.append(scalars)
+
+        if self.dlog is not None:
+            rec = dict(scalars)
+            rec["pi"] = np.asarray(jax.device_get(self.params["pi"]))
+            rec["sigma"] = np.asarray(jax.device_get(self.params["sigma"]))
+            if self.log_params_every and (
+                    self.anneal.position % self.log_params_every == 0):
+                rec["W"] = np.asarray(jax.device_get(self.params["W"]))
+            self.dlog.append_all(rec)
+
+        if verbose:
+            from prosper_tpu.parallel.mesh import pprint
+            pprint(f"[em] iter {self.anneal.position:4d} "
+                   f"F/N={scalars['F_mean']:+.4f} "
+                   f"n_used={scalars['n_used']:.0f} "
+                   f"T={scalars['T']:.2f} dt={scalars['dt']*1e3:.1f}ms")
+
+        self.anneal.next()
+        return scalars

@@ -1,0 +1,152 @@
+"""Shared model machinery — the TPU-native analogue of the reference CAModel.
+
+Reference behavior: SURVEY.md §2 "ET base (CAModel)"
+(prosper/em/camodels/__init__.py — mount unavailable): constructor
+``(D, H, Hprime, gamma, to_learn)``, truncated state matrix, candidate
+preselection, partial-data selection, ``generate_data``, ``standard_init``,
+``noisify_params``, ``inference``.
+
+Differences by design (TPU-first):
+  * models are *static config objects*; all numerics are pure jittable
+    functions over parameter pytrees (plain dicts of arrays),
+  * the per-iteration EM step is a single fused function (noisify ->
+    masks -> E-step -> psum -> M-step) suitable for jit and shard_map,
+  * data sub-selection is mask-based with static shapes (core/select.py),
+  * the Ncut ranking uses the previous iteration's per-datapoint free
+    energies (one-iteration lag) so the E-step stays single-pass — a
+    deliberate, documented deviation from the reference's same-iteration
+    selection (which is free there only because it materialises all
+    (N, S) log-joints).
+"""
+
+from __future__ import annotations
+
+from functools import partial as _partial
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ETModel:
+    """Base class: static config + pure-function EM step."""
+
+    #: parameter names this model owns (subclasses extend)
+    param_names: Tuple[str, ...] = ("W", "pi", "sigma")
+
+    def __init__(self, D: int, H: int, Hprime: int, gamma: int,
+                 to_learn: Optional[Sequence[str]] = None,
+                 chunk: int = 2048):
+        if not (0 < Hprime <= H):
+            raise ValueError(f"need 0 < Hprime <= H, got {Hprime=} {H=}")
+        if not (1 <= gamma <= Hprime):
+            raise ValueError(f"need 1 <= gamma <= Hprime, got {gamma=} {Hprime=}")
+        self.D = int(D)
+        self.H = int(H)
+        self.Hprime = int(Hprime)
+        self.gamma = int(gamma)
+        self.to_learn = tuple(to_learn) if to_learn is not None else self.param_names
+        self.chunk = int(chunk)
+        self._jit_step = None
+
+    # -- subclass contract ----------------------------------------------------
+
+    def step_fn(self, params: Dict, data: Dict, sched: Dict, rng,
+                axis_name: Optional[str] = None):
+        """Pure EM step: returns (new_params, F (N,), scalars dict)."""
+        raise NotImplementedError
+
+    def generate_from_hidden(self, params: Dict, s: np.ndarray,
+                             rng: np.random.Generator) -> np.ndarray:
+        """Noise-free mean ybar given latent states (host-side numpy)."""
+        raise NotImplementedError
+
+    def sample_latents(self, params: Dict, N: int,
+                       rng: np.random.Generator) -> np.ndarray:
+        raise NotImplementedError
+
+    # -- shared API -----------------------------------------------------------
+
+    def generate_data(self, params: Dict, N: int, seed: int = 0) -> Dict:
+        """Sample N datapoints from the generative model (host-side, f64).
+
+        Reference: CAModel.generate_data (SURVEY.md §3.2).  Returns
+        {'y': (N,D) f32, 's': ground-truth latents} plus an all-ones 'valid'
+        mask (loaders may pad with zeros).
+        """
+        rng = np.random.default_rng(seed)
+        s = self.sample_latents(params, N, rng)
+        ybar = self.generate_from_hidden(params, s, rng)
+        sigma = float(np.asarray(params["sigma"]))
+        y = ybar + sigma * rng.standard_normal(ybar.shape)
+        return {
+            "y": y.astype(np.float32),
+            "s": s,
+            "valid": np.ones((N,), np.float32),
+        }
+
+    def standard_init(self, data: Dict, seed: int = 0) -> Dict:
+        """Data-driven init (reference: CAModel.standard_init — W from the
+        data mean plus noise, sigma from the data std, pi ~ 1/H)."""
+        rng = np.random.default_rng(seed)
+        y = np.asarray(data["y"], np.float64)
+        mean = y.mean(axis=0)
+        std = y.std()
+        W = (mean[:, None]
+             + (std / np.sqrt(self.H)) * rng.standard_normal((self.D, self.H)))
+        params = {
+            "W": jnp.asarray(W, jnp.float32),
+            "pi": jnp.float32(1.0 / self.H),
+            "sigma": jnp.float32(max(std, 1e-3)),
+        }
+        params.update(self._extra_init(y, rng))
+        return params
+
+    def _extra_init(self, y: np.ndarray, rng) -> Dict:
+        return {}
+
+    # -- driver plumbing ------------------------------------------------------
+
+    def jit_step(self):
+        """Single-device jitted step (lazily compiled, cached)."""
+        if self._jit_step is None:
+            self._jit_step = jax.jit(_partial(self.step_fn, axis_name=None))
+        return self._jit_step
+
+    def step(self, params, data, anneal, rng):
+        """Convenience: one EM iteration on one device.
+
+        ``data`` must contain y/valid/F_prev; returns (params, data', scalars)
+        with the new per-datapoint free energies threaded into data'.
+        """
+        sched = sched_from_anneal(anneal)
+        params, F, scalars = self.jit_step()(params, data, sched, rng)
+        data = dict(data, F_prev=F)
+        return params, data, scalars
+
+
+def sched_from_anneal(anneal) -> Dict[str, jnp.ndarray]:
+    """Annealing snapshot -> traced scalar dict (no recompiles across steps)."""
+    s = anneal.as_scalars() if hasattr(anneal, "as_scalars") else dict(anneal)
+    beta = jnp.float32(s.get("beta", 1.0))
+    anneal_prior = bool(s.get("anneal_prior", 0.0))
+    return {
+        "beta": beta,
+        "prior_beta": beta if anneal_prior else jnp.float32(1.0),
+        "Ncut_factor": jnp.float32(s.get("Ncut_factor", 0.0)),
+        "partial": jnp.float32(s.get("partial", 1.0)),
+        "W_noise": jnp.float32(s.get("W_noise", 0.0)),
+        "pi_noise": jnp.float32(s.get("pi_noise", 0.0)),
+        "sigma_noise": jnp.float32(s.get("sigma_noise", 0.0)),
+    }
+
+
+def make_blank_data(y, valid=None) -> Dict:
+    """Wrap raw observations into the step's data pytree."""
+    y = jnp.asarray(y, jnp.float32)
+    N = y.shape[0]
+    if valid is None:
+        valid = jnp.ones((N,), jnp.float32)
+    return {"y": y, "valid": jnp.asarray(valid, jnp.float32),
+            "F_prev": jnp.zeros((N,), jnp.float32)}

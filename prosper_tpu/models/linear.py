@@ -1,0 +1,279 @@
+"""Linear-superposition ET models: BSC, TSC, DSC.
+
+Reference behavior: SURVEY.md §2 rows "BSC-ET" (prosper/em/camodels/bsc_et.py),
+"TSC-ET" (tsc_et.py), "DSC-ET" (dsc_et.py) — mount unavailable, behavior-level
+parity.  All three share ``ybar = W @ s`` with isotropic Gaussian noise and a
+factorised discrete prior; they differ only in the per-unit value set and the
+prior parameterisation:
+
+  BSC:  s_h in {0, 1},       p(s_h=1) = pi                    (scalar pi)
+  TSC:  s_h in {-1, 0, +1},  p(s_h=±1) = pi/2                 (scalar pi)
+  DSC:  s_h in {0} ∪ Phi,    p(s_h=phi_k) = pi_k              (vector pi)
+
+E-step: one shared TPU-native path (core/etstep.py).  M-steps are closed
+form after a psum of sufficient statistics:
+
+  W     <- (sum_n y <s>^T) (sum_n <s s^T>)^-1
+  pi    <- pi * (A_gamma/B_gamma) * mean<|s|>        (ET truncation correction)
+  sigma <- sqrt( sum<||y - W s||^2> / (N_use * D) )
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prosper_tpu.core import states as states_mod
+from prosper_tpu.core.etstep import (
+    LinearStateArrays,
+    linear_et_estep,
+    state_arrays_from,
+    truncated_prior_logmass,
+)
+from prosper_tpu.core.select import (
+    exact_count_mask,
+    global_quantile_threshold,
+    ncut_keep_count,
+)
+from prosper_tpu.models.base import ETModel
+from prosper_tpu.parallel.mesh import maybe_psum
+
+
+class LinearETModel(ETModel):
+    """Shared EM step for the linear family."""
+
+    #: candidate scoring uses |corr| when latents may be negative
+    signed_select: bool = False
+
+    def __init__(self, D, H, Hprime, gamma, values, to_learn=None, chunk=2048,
+                 min_active: int = 2):
+        super().__init__(D, H, Hprime, gamma, to_learn, chunk)
+        self.space = states_mod.discrete_state_space(
+            Hprime, gamma, values, min_active=min_active)
+        self.sa: LinearStateArrays = state_arrays_from(self.space)
+
+    # -- prior hooks (subclass contract) --------------------------------------
+
+    def log_odds(self, params) -> jnp.ndarray:
+        """(K,) log p(value_k) - log p(0), traced."""
+        raise NotImplementedError
+
+    def log_pi_active(self, params):
+        """log P(unit active), traced (for the ET A/B corrections)."""
+        raise NotImplementedError
+
+    def update_prior(self, params, sums, n_used, logA, logB) -> Dict:
+        raise NotImplementedError
+
+    # -- noisify (reference: CAModel.noisify_params) --------------------------
+
+    def noisify(self, params, sched, rng):
+        kW, kp, ks = jax.random.split(rng, 3)
+        p = dict(params)
+        p["W"] = params["W"] + sched["W_noise"] * jax.random.normal(
+            kW, params["W"].shape, jnp.float32)
+        pi_noise = sched["pi_noise"] * jax.random.normal(kp, jnp.shape(params["pi"]))
+        p["pi"] = jnp.clip(params["pi"] + pi_noise, 1e-6, 1.0 - 1e-6)
+        p["sigma"] = jnp.clip(
+            params["sigma"] + sched["sigma_noise"] * jax.random.normal(ks),
+            1e-5, None)
+        return p
+
+    # -- the fused EM step ----------------------------------------------------
+
+    def step_fn(self, params, data, sched, rng, axis_name: Optional[str] = None):
+        y = data["y"]
+        valid = data["valid"]
+        N = y.shape[0]
+
+        rng_noise, rng_partial = jax.random.split(rng)
+        params = self.noisify(params, sched, rng_noise)
+
+        # random partial-data mask (per-shard independent randomness)
+        if axis_name is not None:
+            rng_partial = jax.random.fold_in(
+                rng_partial, jax.lax.axis_index(axis_name))
+        pmask = exact_count_mask(rng_partial, N, sched["partial"]) * valid
+
+        # ET data cut: keep the globally best-explained datapoints by the
+        # previous iteration's F (one-pass design; see models/base.py docs)
+        logA, logB = truncated_prior_logmass(
+            self.log_pi_active(params), self.H, self.gamma)
+        N_total = maybe_psum(jnp.sum(valid), axis_name)
+        keep = ncut_keep_count(N_total, sched["Ncut_factor"], logA)
+        thresh = global_quantile_threshold(
+            data["F_prev"], pmask, keep, axis_name)
+        ncut_mask = jnp.where(sched["Ncut_factor"] > 0,
+                              (data["F_prev"] >= thresh).astype(jnp.float32),
+                              1.0)
+        weight = pmask * ncut_mask
+
+        # E-step (hot loop) + global reduction of sufficient statistics
+        sigma2 = params["sigma"] ** 2
+        F, sums = linear_et_estep(
+            y, weight, params["W"], sigma2, self.log_odds(params), self.sa,
+            self.Hprime, self.signed_select, sched["beta"], sched["prior_beta"],
+            self.chunk)
+        sums = jax.tree_util.tree_map(lambda a: maybe_psum(a, axis_name), sums)
+
+        new_params = self.m_step(params, sums, logA, logB)
+
+        n_used = jnp.maximum(sums["n"], 1.0)
+        scalars = {
+            "F_total": sums["F"],
+            "F_mean": sums["F"] / n_used,
+            "Q": sums["F_true"],                 # un-annealed free energy
+            "Q_mean": sums["F_true"] / n_used,
+            "n_used": sums["n"],
+            "N_total": N_total,
+        }
+        return new_params, F, scalars
+
+    # -- closed-form M-step ---------------------------------------------------
+
+    def m_step(self, params, sums, logA, logB):
+        H = self.H
+        n_used = jnp.maximum(sums["n"], 1.0)
+        new = dict(params)
+
+        if "W" in self.to_learn:
+            ss = sums["ss"]
+            ridge = 1e-6 * (jnp.trace(ss) / H + 1.0)
+            A = ss + ridge * jnp.eye(H, dtype=ss.dtype)
+            new["W"] = jnp.linalg.solve(A, sums["xs"].T).T
+
+        if "pi" in self.to_learn:
+            new.update(self.update_prior(params, sums, n_used, logA, logB))
+
+        if "sigma" in self.to_learn:
+            W = new["W"]
+            gram = jnp.dot(W.T, W, preferred_element_type=jnp.float32)
+            resid = (sums["y2"]
+                     - 2.0 * jnp.sum(W * sums["xs"])
+                     + jnp.sum(gram * sums["ss"]))
+            sigma2 = jnp.maximum(resid / (n_used * self.D), 1e-10)
+            new["sigma"] = jnp.sqrt(sigma2)
+        return new
+
+    # -- generation -----------------------------------------------------------
+
+    def generate_from_hidden(self, params, s, rng):
+        W = np.asarray(params["W"], np.float64)
+        return s @ W.T
+
+
+class BSC(LinearETModel):
+    """Binary Sparse Coding with Expectation Truncation.
+
+    Reference: prosper/em/camodels/bsc_et.py :: BSC_ET (SURVEY.md §2).
+    """
+
+    signed_select = False
+
+    def __init__(self, D, H, Hprime, gamma, to_learn=None, chunk=2048):
+        super().__init__(D, H, Hprime, gamma, values=[1.0],
+                         to_learn=to_learn, chunk=chunk)
+
+    def log_odds(self, params):
+        pi = params["pi"]
+        return (jnp.log(pi) - jnp.log1p(-pi))[None]
+
+    def log_pi_active(self, params):
+        return jnp.log(params["pi"])
+
+    def update_prior(self, params, sums, n_used, logA, logB):
+        mean_abs = sums["abs"] / n_used
+        pi = params["pi"] * jnp.exp(logA - logB) * mean_abs
+        return {"pi": jnp.clip(pi, 1e-6, 1.0 - 1e-6)}
+
+    def sample_latents(self, params, N, rng):
+        pi = float(np.asarray(params["pi"]))
+        return (rng.random((N, self.H)) < pi).astype(np.float64)
+
+
+class TSC(LinearETModel):
+    """Ternary Sparse Coding: latents in {-1, 0, +1}, symmetric prior pi/2.
+
+    Reference: prosper/em/camodels/tsc_et.py (SURVEY.md §2 "TSC-ET",
+    name confidence [M]).
+    """
+
+    signed_select = True
+
+    def __init__(self, D, H, Hprime, gamma, to_learn=None, chunk=2048):
+        super().__init__(D, H, Hprime, gamma, values=[-1.0, 1.0],
+                         to_learn=to_learn, chunk=chunk)
+
+    def log_odds(self, params):
+        pi = params["pi"]
+        lo = jnp.log(pi / 2.0) - jnp.log1p(-pi)
+        return jnp.stack([lo, lo])
+
+    def log_pi_active(self, params):
+        return jnp.log(params["pi"])
+
+    def update_prior(self, params, sums, n_used, logA, logB):
+        mean_abs = sums["abs"] / n_used
+        pi = params["pi"] * jnp.exp(logA - logB) * mean_abs
+        return {"pi": jnp.clip(pi, 1e-6, 1.0 - 1e-6)}
+
+    def sample_latents(self, params, N, rng):
+        pi = float(np.asarray(params["pi"]))
+        u = rng.random((N, self.H))
+        s = np.zeros((N, self.H))
+        s[u < pi / 2] = -1.0
+        s[(u >= pi / 2) & (u < pi)] = 1.0
+        return s
+
+
+class DSC(LinearETModel):
+    """Discrete Sparse Coding: latents from {0} ∪ Phi with learned pi vector.
+
+    Reference: prosper/em/camodels/dsc_et.py (SURVEY.md §2 "DSC-ET").
+    ``params['pi']`` is the (K,) vector of non-zero value probabilities;
+    p(0) = 1 - sum(pi).  The value set Phi is static config (learning Phi is
+    scale-degenerate with W and is not supported, matching the common usage).
+    """
+
+    signed_select = True
+
+    def __init__(self, D, H, Hprime, gamma, phi=( -1.0, 1.0, 2.0),
+                 to_learn=None, chunk=2048):
+        super().__init__(D, H, Hprime, gamma, values=list(phi),
+                         to_learn=to_learn, chunk=chunk)
+        self.phi = np.asarray(phi, np.float64)
+
+    def standard_init(self, data, seed: int = 0):
+        params = super().standard_init(data, seed)
+        K = len(self.phi)
+        params["pi"] = jnp.full((K,), 1.0 / (self.H * K), jnp.float32)
+        return params
+
+    def log_odds(self, params):
+        pi = params["pi"]
+        p0 = jnp.maximum(1.0 - jnp.sum(pi), 1e-6)
+        return jnp.log(pi) - jnp.log(p0)
+
+    def log_pi_active(self, params):
+        return jnp.log(jnp.clip(jnp.sum(params["pi"]), 1e-8, 1.0 - 1e-8))
+
+    def update_prior(self, params, sums, n_used, logA, logB):
+        mean_abs = sums["abs"] / n_used
+        pi_act = jnp.clip(jnp.sum(params["pi"]), 1e-8, 1.0 - 1e-8)
+        pi_act_new = jnp.clip(pi_act * jnp.exp(logA - logB) * mean_abs,
+                              1e-6, 1.0 - 1e-6)
+        vc = jnp.maximum(sums["vc"], 1e-12)
+        pi = pi_act_new * vc / jnp.sum(vc)
+        return {"pi": pi}
+
+    def sample_latents(self, params, N, rng):
+        pi = np.asarray(params["pi"], np.float64)
+        p0 = max(1.0 - pi.sum(), 0.0)
+        probs = np.concatenate([[p0], pi])
+        probs = probs / probs.sum()
+        vals = np.concatenate([[0.0], self.phi])
+        idx = rng.choice(len(vals), size=(N, self.H), p=probs)
+        return vals[idx]

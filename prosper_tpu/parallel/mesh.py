@@ -1,0 +1,139 @@
+"""Device-mesh runtime: the TPU-native replacement of the reference's MPI layer.
+
+Reference behavior: SURVEY.md §2 "MPI helpers" — ``prosper/utils/parallel.py``
+provides ``pprint`` (rank-0 print), ``stride_data`` (per-rank shard bounds)
+and allreduce wrappers over ``mpi4py``; each model's M-step allreduces summed
+sufficient statistics (SURVEY.md §3.1).
+
+TPU-native design: one mesh axis ``'data'`` spans every chip (ICI within a
+slice, DCN across slices — XLA picks the collective algorithm).  The EM step
+runs under ``shard_map`` with the data shard partitioned over 'data' and the
+parameters replicated; sufficient statistics are ``lax.psum``'d, after which
+every device computes the identical closed-form M-step (SPMD determinism, the
+same property the reference relies on).
+
+Everything here also works with no mesh at all (axis_name=None): the
+``maybe_*`` collectives become identity, so a single-chip run pays zero
+overhead and model code is written once.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+# ---------------------------------------------------------------------------
+# Collective wrappers that degrade to identity outside shard_map
+# ---------------------------------------------------------------------------
+
+def maybe_psum(x, axis_name: Optional[str]):
+    """Sum over the mesh axis; identity if axis_name is None (single device)."""
+    return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+
+def maybe_pmax(x, axis_name: Optional[str]):
+    return x if axis_name is None else jax.lax.pmax(x, axis_name)
+
+
+def maybe_pmin(x, axis_name: Optional[str]):
+    return x if axis_name is None else jax.lax.pmin(x, axis_name)
+
+
+# ---------------------------------------------------------------------------
+# Host-side helpers (reference: pprint / stride_data)
+# ---------------------------------------------------------------------------
+
+def pprint(*args, **kwargs) -> None:
+    """Print only on process 0 (reference: utils/parallel.py::pprint)."""
+    if jax.process_index() == 0:
+        print(*args, **kwargs)
+
+
+def stride_data(N: int, parts: Optional[int] = None, index: Optional[int] = None
+                ) -> Tuple[int, int]:
+    """(first, last) bounds of this process's contiguous shard of N datapoints.
+
+    Reference: utils/parallel.py::stride_data.  With JAX multi-host, each
+    process loads only its own slice of the dataset from disk; the device
+    mesh then shards the in-memory slice further across local chips.
+    """
+    parts = jax.process_count() if parts is None else parts
+    index = jax.process_index() if index is None else index
+    base, rem = divmod(N, parts)
+    first = index * base + min(index, rem)
+    last = first + base + (1 if index < rem else 0)
+    return first, last
+
+
+# ---------------------------------------------------------------------------
+# Mesh runtime
+# ---------------------------------------------------------------------------
+
+class MeshRuntime:
+    """Owns the device mesh and wraps an EM step for data-parallel execution.
+
+    ``axis`` is the data-parallel axis.  An optional ``state`` axis (for
+    sharding huge enumerated-state spaces, SURVEY.md §5.7) can be added by
+    passing ``mesh_shape=(n_data, n_state)``.
+    """
+
+    def __init__(self, devices: Optional[Sequence] = None,
+                 mesh_shape: Optional[Tuple[int, ...]] = None,
+                 axis_names: Tuple[str, ...] = ("data",)):
+        import numpy as np
+        devices = list(jax.devices()) if devices is None else list(devices)
+        if mesh_shape is None:
+            mesh_shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+        self.mesh = Mesh(np.array(devices).reshape(mesh_shape), axis_names)
+        self.axis_names = axis_names
+        self.data_axis = axis_names[0]
+
+    @property
+    def n_data_shards(self) -> int:
+        return self.mesh.shape[self.data_axis]
+
+    def data_sharding(self) -> NamedSharding:
+        """Sharding for arrays whose leading dim is the datapoint axis."""
+        return NamedSharding(self.mesh, P(self.data_axis))
+
+    def replicated_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    def shard_data(self, tree):
+        """Device-put a pytree of (N, ...) arrays sharded over the data axis.
+
+        N must be divisible by the number of data shards (pad upstream with
+        the data loader's static-shape padding if not).
+        """
+        sh = self.data_sharding()
+        return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)
+
+    def replicate(self, tree):
+        sh = self.replicated_sharding()
+        return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)
+
+    def shard_step(self, step_fn):
+        """Wrap ``step_fn(params, data, sched, rng) -> (params, F, scalars)``
+        in shard_map over the data axis and jit it.
+
+        * params, sched, rng: replicated
+        * data (and the returned per-datapoint F): sharded on the leading axis
+        * params/scalars outputs: replicated — the M-step inside step_fn
+          psums suff stats over ``axis_name`` so all shards compute the
+          identical closed-form update (SPMD determinism, mirroring the
+          reference's allreduce + replicated M-step).
+        """
+        axis = self.data_axis
+        fn = partial(step_fn, axis_name=axis)
+        in_specs = (P(), P(axis), P(), P())
+        out_specs = (P(), P(axis), P())
+        mapped = jax.shard_map(
+            fn, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+        return jax.jit(mapped, donate_argnums=(0,))

@@ -1,0 +1,77 @@
+"""Multi-device equivalence: 1-device vs 8-device shard_map EM steps.
+
+SURVEY.md §4 "Distributed testing": the reference's MPI P=1 vs P=4
+bit-identical-trajectory property becomes: a shard_map'd step over an
+8-device mesh must produce the same parameters as the single-device step
+(up to float32 reduction-order noise), because suff stats are psum'd and the
+M-step is computed identically on every device.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from prosper_tpu.data.bars import bars_gt_params
+from prosper_tpu.engine.anneal import LinearAnnealing
+from prosper_tpu.engine.em import EM
+from prosper_tpu.models.linear import BSC
+from prosper_tpu.parallel.mesh import MeshRuntime, stride_data
+
+
+@pytest.fixture(scope="module")
+def problem():
+    R = 4
+    D, H, Hp, gamma, N = R * R, 2 * R, 5, 3, 512
+    model = BSC(D, H, Hp, gamma, chunk=64)
+    gt = bars_gt_params(model, intensity=10.0, sigma=1.0)
+    data = model.generate_data(gt, N, seed=2)
+    return model, gt, data
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8, (
+        "conftest must provide 8 virtual CPU devices")
+
+
+def test_single_vs_mesh_equivalence(problem):
+    model, gt, data = problem
+    anneal1 = LinearAnnealing(5)
+    anneal8 = LinearAnnealing(5)
+
+    em1 = EM(model, anneal1, {"y": data["y"]}, seed=9)
+    p1 = em1.run()
+
+    runtime = MeshRuntime()
+    em8 = EM(model, anneal8, {"y": data["y"]}, seed=9, runtime=runtime)
+    p8 = em8.run()
+
+    np.testing.assert_allclose(np.asarray(p1["W"]), np.asarray(p8["W"]),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(float(p1["pi"]), float(p8["pi"]), rtol=1e-3)
+    np.testing.assert_allclose(float(p1["sigma"]), float(p8["sigma"]),
+                               rtol=1e-3)
+    F1 = [h["F_mean"] for h in em1.history]
+    F8 = [h["F_mean"] for h in em8.history]
+    np.testing.assert_allclose(F1, F8, rtol=2e-3, atol=2e-3)
+
+
+def test_mesh_params_replicated(problem):
+    """After a sharded step, params must be fully replicated (SPMD
+    determinism — the analogue of identical params on every MPI rank)."""
+    model, gt, data = problem
+    runtime = MeshRuntime()
+    em = EM(model, LinearAnnealing(2), {"y": data["y"]}, seed=1,
+            runtime=runtime)
+    em.step_once()
+    W = em.params["W"]
+    assert W.sharding.is_fully_replicated
+
+
+def test_stride_data():
+    assert stride_data(10, parts=4, index=0) == (0, 3)
+    assert stride_data(10, parts=4, index=1) == (3, 6)
+    assert stride_data(10, parts=4, index=2) == (6, 8)
+    assert stride_data(10, parts=4, index=3) == (8, 10)
+    # covers all points exactly
+    spans = [stride_data(10, 4, i) for i in range(4)]
+    assert sum(b - a for a, b in spans) == 10

@@ -1,0 +1,48 @@
+"""State-space enumeration unit tests (SURVEY.md §4: state-matrix counts)."""
+
+from math import comb
+
+import numpy as np
+import pytest
+
+from prosper_tpu.core.states import (
+    binary_state_space,
+    discrete_state_space,
+    n_multi_states,
+    ternary_state_space,
+)
+
+
+@pytest.mark.parametrize("Hp,gamma", [(4, 2), (6, 3), (8, 5), (5, 5)])
+def test_binary_counts(Hp, gamma):
+    sp = binary_state_space(Hp, gamma)
+    expected = sum(comb(Hp, k) for k in range(2, gamma + 1))
+    assert sp.S == expected == n_multi_states(Hp, gamma, 1)
+    assert set(np.unique(sp.states)) <= {0.0, 1.0}
+    counts = sp.states.sum(axis=1)
+    assert counts.min() >= 2 and counts.max() <= gamma
+    np.testing.assert_array_equal(sp.abs_states, counts)
+
+
+def test_ternary_counts():
+    sp = ternary_state_space(6, 3)
+    expected = sum(comb(6, k) * 2 ** k for k in range(2, 4))
+    assert sp.S == expected
+    assert set(np.unique(sp.states)) <= {-1.0, 0.0, 1.0}
+
+
+def test_states_unique_and_outer():
+    sp = discrete_state_space(5, 3, values=[-1.0, 2.0])
+    rows = {tuple(r) for r in sp.states}
+    assert len(rows) == sp.S  # no duplicates
+    outer = np.einsum("sh,sk->shk", sp.states, sp.states).reshape(sp.S, -1)
+    np.testing.assert_allclose(sp.outer, outer)
+    # value counts sum to |support|
+    np.testing.assert_array_equal(sp.value_counts.sum(axis=1), sp.abs_states)
+
+
+def test_validation():
+    with pytest.raises(ValueError):
+        discrete_state_space(4, 5, values=[1.0])  # gamma > Hp
+    with pytest.raises(ValueError):
+        discrete_state_space(4, 2, values=[0.0, 1.0])  # zero in values
