@@ -1,0 +1,123 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Metric (BASELINE.json): E-step datapoints/s/chip on the scaling config
+"BSC on natural image patches": D=16x16=256, H=300, H'=8, gamma=4.
+
+The reference publishes no perf numbers (BASELINE.md), so ``vs_baseline`` is
+measured against a reference-equivalent vectorized NumPy/BLAS implementation
+of the same truncated E-step running on this host's CPU — the reference's
+compute stack (SURVEY.md §0 "all heavy math goes through NumPy->BLAS").
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+# ---- config: the patches-scale benchmark ------------------------------------
+D, H, Hp, GAMMA = 256, 300, 8, 4
+N_TPU = 131072
+CHUNK = 8192
+N_CPU = 2048
+ITERS = 10
+
+
+def numpy_baseline_dps(y, W, sigma, pi):
+    """Reference-equivalent vectorized NumPy E-step (suff stats incl.)."""
+    import itertools
+    from scipy.special import logsumexp
+
+    N = y.shape[0]
+    # state matrix over candidates (2..gamma active)
+    states = []
+    for k in range(2, GAMMA + 1):
+        for sup in itertools.combinations(range(Hp), k):
+            s = np.zeros(Hp)
+            s[list(sup)] = 1.0
+            states.append(s)
+    SM = np.array(states)                     # (S, Hp)
+    S = SM.shape[0]
+    log_odds = np.log(pi) - np.log1p(-pi)
+    inv2s2 = 0.5 / sigma ** 2
+
+    t0 = time.perf_counter()
+    P = y @ W                                  # (N, H)
+    wn = np.linalg.norm(W, axis=0)
+    cand = np.argpartition(-(P / wn), Hp, axis=1)[:, :Hp]       # (N, Hp)
+    gram = W.T @ W
+    proj = np.take_along_axis(P, cand, axis=1)                  # (N, Hp)
+    G = gram[cand[:, :, None], cand[:, None, :]]                # (N, Hp, Hp)
+    lik_multi = (2 * proj @ SM.T
+                 - np.einsum("nab,sa,sb->ns", G, SM, SM)) * inv2s2
+    gd = np.diag(gram)
+    lik_single = (2 * P - gd[None, :]) * inv2s2                 # (N, H)
+    logits = np.concatenate(
+        [np.zeros((N, 1)),
+         lik_single + log_odds,
+         lik_multi + SM.sum(1)[None, :] * log_odds], axis=1)
+    m = logits.max(1, keepdims=True)
+    q = np.exp(logits - m)
+    q /= q.sum(1, keepdims=True)
+    q_single = q[:, 1:1 + H]
+    q_multi = q[:, 1 + H:]
+    s_cand = q_multi @ SM                                       # (N, Hp)
+    s_full = q_single.copy()
+    np.add.at(s_full, (np.arange(N)[:, None], cand), s_cand)
+    xs = y.T @ s_full                                           # (D, H)
+    ss_cand = np.einsum("ns,sa,sb->nab", q_multi, SM, SM)
+    ss = np.zeros((H, H))
+    np.add.at(ss, (cand[:, :, None], cand[:, None, :]), ss_cand)
+    ss[np.arange(H), np.arange(H)] += q_single.sum(0)
+    _ = (xs, ss)
+    dt = time.perf_counter() - t0
+    return N / dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from prosper_tpu.engine.anneal import LinearAnnealing
+    from prosper_tpu.models.base import make_blank_data, sched_from_anneal
+    from prosper_tpu.models.linear import BSC
+
+    rng = np.random.default_rng(0)
+    W0 = rng.standard_normal((D, H)).astype(np.float32)
+    pi0, sigma0 = 2.0 / H, 1.0
+
+    model = BSC(D, H, Hp, GAMMA, chunk=CHUNK)
+    y = rng.standard_normal((N_TPU, D)).astype(np.float32)
+    data = make_blank_data(y)
+    params = {"W": jnp.asarray(W0), "pi": jnp.float32(pi0),
+              "sigma": jnp.float32(sigma0)}
+    sched = sched_from_anneal(LinearAnnealing(10))
+    key = jax.random.PRNGKey(0)
+    step = model.jit_step()
+
+    # warmup/compile
+    p, F, s = step(params, data, sched, key)
+    jax.block_until_ready(p)
+    data2 = dict(data, F_prev=F)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        p, F, s = step(p, data2, sched, key)
+    jax.block_until_ready(p)
+    dt = time.perf_counter() - t0
+    tpu_dps = N_TPU * ITERS / dt
+
+    y_cpu = np.asarray(y[:N_CPU], np.float64)
+    cpu_dps = numpy_baseline_dps(y_cpu, W0.astype(np.float64), sigma0, pi0)
+
+    print(json.dumps({
+        "metric": "BSC-ET E-step throughput (patches config D=256 H=300 Hp=8 gamma=4)",
+        "value": round(tpu_dps, 1),
+        "unit": "datapoints/s/chip",
+        "vs_baseline": round(tpu_dps / cpu_dps, 2),
+        "baseline": {"numpy_cpu_dps": round(cpu_dps, 1)},
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,215 @@
+"""Command-line interface: train / infer / generate.
+
+Reference behavior: SURVEY.md §2 "Example scripts" + §5.6 — the reference is
+driven as ``mpirun -n P python learn_script.py param_file.py`` where the
+param file is an exec'd Python module defining the model, annealing
+schedule, data source and output path.  This CLI keeps that "config is a
+program" escape hatch (.py configs) and adds declarative TOML/JSON configs:
+
+  python -m prosper_tpu.cli train  examples/barstest/param_bars_bsc.py
+  python -m prosper_tpu.cli train  cfg.toml --output out/run1
+  python -m prosper_tpu.cli infer  --checkpoint out/run1/result.h5 --data d.h5
+  python -m prosper_tpu.cli generate examples/barstest/param_bars_bsc.py -N 1000
+
+Multi-device: ``--mesh data=N`` shards the datapoint axis over the first N
+local devices (the mpirun -n analogue; multi-host uses
+jax.distributed.initialize via --multihost).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import runpy
+import sys
+from typing import Any, Dict
+
+import numpy as np
+
+MODEL_REGISTRY = {}
+
+
+def _registry():
+    global MODEL_REGISTRY
+    if not MODEL_REGISTRY:
+        from prosper_tpu.models import BSC, TSC, DSC, MCA, MMCA, GSC
+        from prosper_tpu.models.mixtures import MoG, MoP
+        MODEL_REGISTRY = {c.__name__.lower(): c for c in
+                          (BSC, TSC, DSC, MCA, MMCA, GSC, MoG, MoP)}
+    return MODEL_REGISTRY
+
+
+def load_config(path: str) -> Dict[str, Any]:
+    """Load a .py (exec'd, reference-style), .toml or .json config."""
+    if path.endswith(".py"):
+        ns = runpy.run_path(path)
+        return {k: v for k, v in ns.items() if not k.startswith("_")}
+    if path.endswith(".toml"):
+        import tomllib
+        with open(path, "rb") as f:
+            return _build_from_decl(tomllib.load(f))
+    if path.endswith(".json"):
+        with open(path) as f:
+            return _build_from_decl(json.load(f))
+    raise ValueError(f"unknown config format: {path}")
+
+
+def _build_from_decl(cfg: Dict) -> Dict[str, Any]:
+    """Declarative config -> instantiated model/anneal/data sources."""
+    from prosper_tpu.engine.anneal import LinearAnnealing
+
+    out: Dict[str, Any] = {}
+    m = dict(cfg["model"])
+    cls = _registry()[m.pop("type").lower()]
+    out["model"] = cls(**m)
+
+    a = dict(cfg.get("anneal", {}))
+    steps = int(a.pop("steps", 100))
+    anneal = LinearAnnealing(steps)
+    for name, spec in a.items():
+        anneal[name] = [tuple(p) for p in spec] if isinstance(spec, list) \
+            else spec
+    out["anneal"] = anneal
+
+    for k in ("data_h5", "data_dataset", "output", "seed", "N",
+              "log_params_every", "gt_params"):
+        if k in cfg:
+            out[k] = cfg[k]
+    return out
+
+
+def _load_data(cfg: Dict, model, args) -> Dict[str, np.ndarray]:
+    if getattr(args, "data", None):
+        from prosper_tpu.data.patches import load_h5_shard
+        y = load_h5_shard(args.data, cfg.get("data_dataset", "patches"))
+        return {"y": y}
+    if "data" in cfg:
+        return cfg["data"]
+    if "data_h5" in cfg:
+        from prosper_tpu.data.patches import load_h5_shard
+        return {"y": load_h5_shard(cfg["data_h5"],
+                                   cfg.get("data_dataset", "patches"))}
+    if "gt_params" in cfg:
+        N = int(cfg.get("N", 1000))
+        return model.generate_data(cfg["gt_params"], N,
+                                   seed=int(cfg.get("seed", 0)))
+    raise SystemExit("config provides no data (need data / data_h5 / "
+                     "gt_params) and --data not given")
+
+
+def cmd_train(args) -> int:
+    from prosper_tpu.engine.em import EM
+    from prosper_tpu.io.datalog import DataLog, StoreToH5, StoreToJSONL
+    from prosper_tpu.parallel.mesh import MeshRuntime, pprint
+
+    cfg = load_config(args.config)
+    model = cfg["model"]
+    anneal = cfg["anneal"]
+    data = _load_data(cfg, model, args)
+
+    out_dir = args.output or cfg.get("output")
+    if out_dir is None:
+        from prosper_tpu.utils import create_output_path
+        out_dir = create_output_path(os.path.basename(args.config))
+    os.makedirs(out_dir, exist_ok=True)
+
+    dlog = DataLog()
+    dlog.set_handler(None, StoreToH5, os.path.join(out_dir, "result.h5"))
+    dlog.set_handler(None, StoreToJSONL, os.path.join(out_dir, "metrics.jsonl"))
+
+    runtime = None
+    if args.mesh:
+        import jax
+        n = int(args.mesh.split("=")[1])
+        runtime = MeshRuntime(devices=jax.devices()[:n])
+        # static-shape padding so the shard divides evenly (valid=0 rows)
+        from prosper_tpu.data.patches import pad_for_mesh
+        y = np.asarray(data["y"])
+        per_shard = -(-y.shape[0] // runtime.n_data_shards)
+        c = model.chunk if per_shard > model.chunk else 1
+        data = pad_for_mesh(y, runtime.n_data_shards, c)
+
+    em = EM(model, anneal, data, seed=int(cfg.get("seed", 42)),
+            runtime=runtime, dlog=dlog,
+            log_params_every=int(cfg.get("log_params_every", 1)))
+    params = em.run(verbose=not args.quiet)
+
+    from prosper_tpu.io import checkpoint
+    checkpoint.save(os.path.join(out_dir, "checkpoint.h5"), params,
+                    step=anneal.position)
+    dlog.close()
+    pprint(f"[train] done -> {out_dir}")
+    return 0
+
+
+def cmd_infer(args) -> int:
+    from prosper_tpu.io import checkpoint
+    from prosper_tpu.data.patches import load_h5_shard
+    import h5py
+
+    cfg = load_config(args.config)
+    model = cfg["model"]
+    try:
+        params, step, _ = checkpoint.restore(args.checkpoint)
+    except KeyError:
+        params, step = checkpoint.resume_from_h5(
+            args.checkpoint, param_names=tuple(model.param_names))
+    y = load_h5_shard(args.data, cfg.get("data_dataset", "patches"))
+    out = model.inference(params, {"y": y}, top_L=args.top)
+    dest = args.output or "inference.h5"
+    with h5py.File(dest, "w") as f:
+        for k, v in out.items():
+            f.create_dataset(k, data=np.asarray(v))
+    print(f"[infer] {y.shape[0]} datapoints -> {dest} (params from step {step})")
+    return 0
+
+
+def cmd_generate(args) -> int:
+    from prosper_tpu.data.patches import write_h5_dataset
+
+    cfg = load_config(args.config)
+    model = cfg["model"]
+    gt = cfg.get("gt_params")
+    if gt is None:
+        raise SystemExit("config must define gt_params for generate")
+    data = model.generate_data(gt, args.N, seed=args.seed)
+    dest = args.output or "generated.h5"
+    write_h5_dataset(dest, data["y"])
+    print(f"[generate] {args.N} datapoints -> {dest}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="prosper-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pt = sub.add_parser("train", help="run EM training")
+    pt.add_argument("config")
+    pt.add_argument("--output", "-o", default=None)
+    pt.add_argument("--data", default=None, help="HDF5 dataset overriding config")
+    pt.add_argument("--mesh", default=None, help="e.g. data=8")
+    pt.add_argument("--quiet", "-q", action="store_true")
+    pt.set_defaults(fn=cmd_train)
+
+    pi = sub.add_parser("infer", help="posterior decode with trained params")
+    pi.add_argument("config")
+    pi.add_argument("--checkpoint", "-c", required=True)
+    pi.add_argument("--data", required=True)
+    pi.add_argument("--output", "-o", default=None)
+    pi.add_argument("--top", type=int, default=10)
+    pi.set_defaults(fn=cmd_infer)
+
+    pg = sub.add_parser("generate", help="sample data from the model")
+    pg.add_argument("config")
+    pg.add_argument("-N", type=int, default=1000)
+    pg.add_argument("--seed", type=int, default=0)
+    pg.add_argument("--output", "-o", default=None)
+    pg.set_defaults(fn=cmd_generate)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -211,6 +211,100 @@ def linear_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
     return F.reshape(N), sums
 
 
+def linear_et_posterior(y: jnp.ndarray, W: jnp.ndarray, sigma2,
+                        log_odds: jnp.ndarray, sa: LinearStateArrays,
+                        Hp: int, signed_select: bool, top_L: int = 10,
+                        beta=1.0, prior_beta=1.0) -> Dict[str, jnp.ndarray]:
+    """Posterior decode for held-out data (reference: CAModel.inference,
+    SURVEY.md §3.3): per datapoint the top-L truncated states sorted by
+    posterior probability, the posterior mean <s>, the reconstruction
+    W<s>, and the truncated log-likelihood F.
+
+    Returns dict with:
+      top_states (N, L, H)  full-H latent vectors of the L best states
+      top_probs  (N, L)     their posterior probabilities
+      s_mean     (N, H)     posterior mean of s
+      recon      (N, D)     W @ <s>
+      F          (N,)       truncated log-pseudo-likelihood
+    """
+    f32 = jnp.float32
+    N, D = y.shape
+    H = W.shape[1]
+    K = sa.values.shape[0]
+    S = sa.states.shape[0]
+    beta = jnp.asarray(beta, f32)
+    prior_beta = jnp.asarray(prior_beta, f32)
+
+    gram = jnp.dot(W.T, W, preferred_element_type=f32)
+    gram_diag = jnp.diagonal(gram)
+    inv2s2 = 0.5 / sigma2
+    P = jnp.dot(y, W, preferred_element_type=f32)
+    w_norm = jnp.sqrt(jnp.maximum(gram_diag, 1e-30))
+    cand = top_hprime_candidates(P, w_norm, Hp, signed_select)
+
+    proj = jnp.take_along_axis(P, cand, axis=1)
+    G = gram[cand[:, :, None], cand[:, None, :]]
+    Gf = G.reshape(N, Hp * Hp)
+    lik_multi = (2.0 * jnp.dot(proj, sa.states.T, preferred_element_type=f32)
+                 - jnp.dot(Gf, sa.outer.T, preferred_element_type=f32)) * inv2s2
+    prior_multi = sa.value_counts @ log_odds
+    logits_multi = beta * lik_multi + prior_beta * prior_multi[None, :]
+    v = sa.values
+    lik_single = (2.0 * P[:, :, None] * v[None, None, :]
+                  - gram_diag[None, :, None] * (v ** 2)[None, None, :]) * inv2s2
+    logits_single = (beta * lik_single
+                     + prior_beta * log_odds[None, None, :]).reshape(N, H * K)
+    logits = jnp.concatenate(
+        [jnp.zeros((N, 1), f32), logits_single, logits_multi], axis=1)
+
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.exp(logits - m)
+    Z = jnp.sum(p, axis=1, keepdims=True)
+    q = p / Z
+
+    y2 = jnp.sum(y * y, axis=1)
+    log_p0 = -jnp.log1p(jnp.sum(jnp.exp(log_odds)))
+    F = ((m + jnp.log(Z))[:, 0] - beta * (y2 * inv2s2)
+         - beta * 0.5 * D * jnp.log(2.0 * jnp.pi * sigma2)
+         + prior_beta * H * log_p0)
+
+    # posterior mean
+    q_single = q[:, 1:1 + H * K].reshape(N, H, K)
+    q_multi = q[:, 1 + H * K:]
+    s_cand = jnp.dot(q_multi, sa.states, preferred_element_type=f32)
+    rows = jnp.arange(N, dtype=jnp.int32)[:, None] * H
+    s_mean = ((q_single @ v).reshape(-1)
+              .at[(rows + cand).reshape(-1)].add(s_cand.reshape(-1))
+              .reshape(N, H))
+    recon = jnp.dot(s_mean, W.T, preferred_element_type=f32)
+
+    # top-L states as full-H vectors
+    top_q, top_u = jax.lax.top_k(q, top_L)                             # (N,L)
+    u = top_u - 1                                                      # -1 -> zero state
+    is_single = (u >= 0) & (u < H * K)
+    sh = jnp.where(is_single, u // K, 0)                               # unit
+    sv = jnp.where(is_single, v[jnp.clip(u % K, 0, K - 1)], 0.0)
+    single_vec = jax.nn.one_hot(sh, H, dtype=f32) * sv[..., None]
+    single_vec = single_vec * is_single[..., None]
+
+    s_idx = jnp.clip(u - H * K, 0, S - 1)
+    is_multi = u >= H * K
+    multi_cand_vals = sa.states[s_idx]                                 # (N,L,Hp)
+    # scatter candidate-slot values into full H per (n, l)
+    NL = N * top_L
+    flat_rows = jnp.repeat(jnp.arange(N, dtype=jnp.int32), top_L)
+    base = (jnp.arange(NL, dtype=jnp.int32)[:, None] * H + cand[flat_rows])
+    multi_vec = (jnp.zeros((NL * H,), f32)
+                 .at[base.reshape(-1)]
+                 .add((multi_cand_vals * is_multi[..., None])
+                      .reshape(NL, Hp).reshape(-1))
+                 .reshape(N, top_L, H))
+    top_states = single_vec + multi_vec
+
+    return {"top_states": top_states, "top_probs": top_q,
+            "s_mean": s_mean, "recon": recon, "F": F}
+
+
 def truncated_prior_logmass(log_pi_active, H: int, gamma: int):
     """log A_gamma and log B_gamma for the ET corrections, in log space.
 

@@ -1,0 +1,262 @@
+"""The ET E-step for spike-and-slab / Gaussian sparse coding (GSC).
+
+Reference behavior: SURVEY.md §2 row "GSC (spike-and-slab / Gaussian SC)"
+(prosper/em/camodels/gsc.py — mount unavailable): latents s_h = b_h * z_h
+with b ~ Bernoulli(pi), z ~ N(mu, psi); binary supports are enumerated (ET
+truncation) and the continuous slab is integrated out in closed form per
+support:
+
+  log p(y|s) = -D/2 log(2 pi sigma^2) - ||y||^2/(2 sigma^2) - k/2 log psi
+               - 1/2 log det M_s - k mu^2/(2 psi) + 1/2 b_s^T M_s^-1 b_s
+
+  M_s = I/psi + W_s^T W_s / sigma^2          (k x k posterior precision)
+  b_s = W_s^T y / sigma^2 + (mu/psi) 1       (natural parameter)
+  q(z|y,s) = N(kappa_s = M_s^-1 b_s,  Sigma_s = M_s^-1)
+
+TPU formulation: supports have varying size k, which would mean ragged
+linear algebra.  We instead pad every support system to a fixed (Hp x Hp)
+matrix with identity rows/columns on inactive slots:
+
+  det(M_pad) = det(M_active),   M_pad^-1 b_pad restricted to the support
+  equals the true kappa, and the padded inverse carries the identity on
+  inactive slots (masked out when accumulating <s z z s^T>).
+
+This turns the whole E-step into ONE batched (chunk*S, Hp, Hp) Cholesky —
+static shapes, vmap-friendly, exactly the "batched small-matrix
+cholesky over states" called out in SURVEY.md §2.  Gram entries come from
+the same (H,H) precompute as the linear family; no (N,S,D) tensors exist.
+
+Sufficient statistics share the linear family's schema (xs, ss, s, abs, y2,
+n, F, F_true) — the slab M-step needs only sum(s) and trace(ss) extras:
+  sum_z  = sum_h <s_h z_h>      = sums['s'].sum()
+  sum_z2 = sum_h <s_h z_h^2>    = trace(sums['ss'])
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from prosper_tpu.core.etstep import LinearStateArrays
+from prosper_tpu.core.select import top_hprime_candidates
+
+
+# ---------------------------------------------------------------------------
+# Hand-rolled batched small-matrix linalg.
+#
+# jnp.linalg.cholesky / cho_solve on (B, Hp, Hp) batches lower to generic
+# blocked LAPACK-style loops that are pathologically slow on TPU for tiny
+# matrices.  Since Hp is a small static constant (<= ~10), we unroll the
+# Cholesky-Banachiewicz recurrences over columns: every step is a fully
+# vectorised VPU op over the whole (chunk*S) batch.  This is the "batched
+# small-matrix cholesky over states — MXU/VPU-friendly" design called out in
+# SURVEY.md §7 M3.
+# ---------------------------------------------------------------------------
+
+def chol_small(M: jnp.ndarray) -> jnp.ndarray:
+    """Lower-triangular Cholesky of SPD matrices, unrolled over the (small,
+    static) matrix dimension; batch dims arbitrary.  M: (..., n, n)."""
+    n = M.shape[-1]
+    L = jnp.zeros_like(M)
+    arange = jnp.arange(n)
+    for j in range(n):
+        if j > 0:
+            # s_i = sum_{k<j} L_ik L_jk
+            s = jnp.einsum("...ik,...k->...i", L[..., :, :j], L[..., j, :j])
+            col = M[..., :, j] - s
+        else:
+            col = M[..., :, j]
+        d = jnp.sqrt(jnp.maximum(col[..., j], 1e-30))
+        colL = col / d[..., None]
+        L = L.at[..., :, j].set(jnp.where(arange >= j, colL, L[..., :, j]))
+    return L
+
+
+def cho_logdet_small(L: jnp.ndarray) -> jnp.ndarray:
+    """log det(M) from its Cholesky factor."""
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), -1)
+
+
+def cho_solve_vec_small(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve M x = b with M = L L^T; b: (..., n)."""
+    n = L.shape[-1]
+    y = jnp.zeros_like(b)
+    for i in range(n):
+        s = (jnp.einsum("...k,...k->...", L[..., i, :i], y[..., :i])
+             if i > 0 else 0.0)
+        y = y.at[..., i].set((b[..., i] - s) / L[..., i, i])
+    x = jnp.zeros_like(b)
+    for i in range(n - 1, -1, -1):
+        s = (jnp.einsum("...k,...k->...", L[..., i + 1:, i], x[..., i + 1:])
+             if i < n - 1 else 0.0)
+        x = x.at[..., i].set((y[..., i] - s) / L[..., i, i])
+    return x
+
+
+def cho_inverse_small(L: jnp.ndarray) -> jnp.ndarray:
+    """Full inverse of M = L L^T via unrolled triangular solves against I."""
+    n = L.shape[-1]
+    batch = L.shape[:-2]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), batch + (n, n))
+    # forward: L Y = I  (rows of Y computed top-down), Y: (..., n, n)
+    Y = jnp.zeros_like(eye)
+    for i in range(n):
+        s = (jnp.einsum("...k,...km->...m", L[..., i, :i], Y[..., :i, :])
+             if i > 0 else 0.0)
+        Y = Y.at[..., i, :].set((eye[..., i, :] - s) / L[..., i, i][..., None])
+    # backward: L^T X = Y
+    X = jnp.zeros_like(eye)
+    for i in range(n - 1, -1, -1):
+        s = (jnp.einsum("...k,...km->...m", L[..., i + 1:, i],
+                        X[..., i + 1:, :]) if i < n - 1 else 0.0)
+        X = X.at[..., i, :].set((Y[..., i, :] - s) / L[..., i, i][..., None])
+    return X
+
+
+def _chunk_gsc_estats(y, w, W, gram, gram_diag, sigma2, pi, mu, psi,
+                      sa: LinearStateArrays, Hp: int, beta, prior_beta):
+    C, D = y.shape
+    H = W.shape[1]
+    S = sa.states.shape[0]
+    f32 = jnp.float32
+
+    inv_s2 = 1.0 / sigma2
+    inv_psi = 1.0 / psi
+    log_odds = jnp.log(pi) - jnp.log1p(-pi)
+
+    P = jnp.dot(y, W, preferred_element_type=f32)                       # (C,H)
+    w_norm = jnp.sqrt(jnp.maximum(gram_diag, 1e-30))
+    cand = top_hprime_candidates(P, w_norm, Hp, signed=True)            # (C,Hp)
+    proj = jnp.take_along_axis(P, cand, axis=1)                         # (C,Hp)
+    G = gram[cand[:, :, None], cand[:, None, :]]                        # (C,Hp,Hp)
+
+    act = (sa.states > 0.5).astype(f32)                                 # (S,Hp)
+    k_s = sa.abs_states                                                 # (S,)
+
+    # padded per-(datapoint,state) posterior precision and natural params:
+    # M_pad = act_a*act_b*G/sigma2 + diag(act/psi + (1-act))
+    act_ab = act[:, :, None] * act[:, None, :]                          # (S,Hp,Hp)
+    eye = jnp.eye(Hp, dtype=f32)
+    diag_term = act * inv_psi + (1.0 - act)                             # (S,Hp)
+    M = (act_ab[None] * (G[:, None] * inv_s2)
+         + jnp.einsum("sh,hk->shk", diag_term, eye)[None])              # (C,S,Hp,Hp)
+    b = act[None] * (proj[:, None, :] * inv_s2 + mu * inv_psi)          # (C,S,Hp)
+
+    chol = chol_small(M)                                                # (C,S,Hp,Hp)
+    logdet = cho_logdet_small(chol)                                     # (C,S)
+    kappa = cho_solve_vec_small(chol, b)                                # (C,S,Hp)
+    Sig = cho_inverse_small(chol)                                       # (C,S,Hp,Hp)
+
+    bMb = jnp.sum(b * kappa, axis=-1)                                   # (C,S)
+    y2 = jnp.sum(y * y, axis=1)                                         # (C,)
+
+    lik_multi = (-0.5 * k_s[None, :] * jnp.log(psi)
+                 - 0.5 * logdet
+                 - k_s[None, :] * (mu * mu) * (0.5 * inv_psi)
+                 + 0.5 * bMb)                                           # (C,S)
+    prior_multi = k_s * log_odds                                        # (S,)
+    logits_multi = beta * lik_multi + prior_beta * prior_multi[None, :]
+
+    # singletons over ALL H (k = 1, scalar algebra)
+    M1 = inv_psi + gram_diag * inv_s2                                   # (H,)
+    b1 = P * inv_s2 + mu * inv_psi                                      # (C,H)
+    kappa1 = b1 / M1[None, :]
+    lik_single = (-0.5 * jnp.log(psi) - 0.5 * jnp.log(M1)[None, :]
+                  - (mu * mu) * (0.5 * inv_psi) + 0.5 * b1 * kappa1)
+    logits_single = beta * lik_single + prior_beta * log_odds
+
+    zero_logit = jnp.zeros((C, 1), f32)
+    logits = jnp.concatenate([zero_logit, logits_single, logits_multi], 1)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.exp(logits - m)
+    Z = jnp.sum(p, axis=1, keepdims=True)
+    q = p / Z
+    logZ = (m + jnp.log(Z))[:, 0]
+
+    log_norm = 0.5 * D * jnp.log(2.0 * jnp.pi * sigma2)
+    log_1mpi = jnp.log1p(-pi)
+    F = logZ + (-beta * (0.5 * y2 * inv_s2) - beta * log_norm
+                + prior_beta * H * log_1mpi)
+    logits_true = jnp.concatenate(
+        [zero_logit, lik_single + log_odds, lik_multi + prior_multi[None, :]],
+        axis=1)
+    F_true = (jax.nn.logsumexp(logits_true, axis=1)
+              - 0.5 * y2 * inv_s2 - log_norm + H * log_1mpi)
+
+    q_single = q[:, 1:1 + H]                                            # (C,H)
+    q_multi = q[:, 1 + H:]                                              # (C,S)
+    wv = w.astype(f32)
+
+    # ---- sufficient statistics over the continuous latents sz = b*z
+    # <sz> per candidate slot, summed over states
+    sz_cand = jnp.einsum("ns,nsh->nh", q_multi, kappa)                  # (C,Hp)
+    # <sz sz^T> per (slot,slot): Sigma (masked) + kappa kappa^T
+    outer = (Sig * act_ab[None] + kappa[..., :, None] * kappa[..., None, :])
+    szsz_cand = jnp.einsum("ns,nsab->nab", q_multi, outer)              # (C,Hp,Hp)
+
+    sz_single = q_single * kappa1                                       # (C,H)
+    Sig1 = 1.0 / M1                                                     # (H,)
+    szsz_diag_single = q_single * (Sig1[None, :] + kappa1 ** 2)         # (C,H)
+
+    row_base = jnp.arange(C, dtype=jnp.int32)[:, None] * H
+    s_flat = (row_base + cand).reshape(-1)
+    sz_full = (sz_single.reshape(-1).at[s_flat].add(sz_cand.reshape(-1))
+               .reshape(C, H))
+
+    sw = sz_full * wv[:, None]
+    sum_xs = jnp.dot(y.T, sw, preferred_element_type=f32)               # (D,H)
+    sum_s = jnp.sum(sw, axis=0)                                         # (H,)
+    sum_ss_diag = jnp.sum(szsz_diag_single * wv[:, None], axis=0)       # (H,)
+
+    ss_flat = (cand[:, :, None] * H + cand[:, None, :]).reshape(-1)
+    ss_vals = (szsz_cand * wv[:, None, None]).reshape(-1)
+    sum_ss = jnp.zeros((H * H,), f32).at[ss_flat].add(ss_vals).reshape(H, H)
+    sum_ss = sum_ss + jnp.diag(sum_ss_diag)
+
+    abs_n = jnp.sum(q_single, axis=1) + jnp.dot(
+        q_multi, k_s, preferred_element_type=f32)
+    sum_abs = jnp.sum(abs_n * wv)
+
+    sums = dict(
+        xs=sum_xs, ss=sum_ss, s=sum_s, abs=sum_abs,
+        y2=jnp.sum(y2 * wv), n=jnp.sum(wv),
+        F=jnp.sum(F * wv), F_true=jnp.sum(F_true * wv),
+    )
+    return F, sums
+
+
+def gsc_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
+                 sigma2, pi, mu, psi, sa: LinearStateArrays, Hp: int,
+                 beta, prior_beta, chunk: int = 1024
+                 ) -> Tuple[jnp.ndarray, Dict]:
+    N, D = y.shape
+    H = W.shape[1]
+    gram = jnp.dot(W.T, W, preferred_element_type=jnp.float32)
+    gram_diag = jnp.diagonal(gram)
+
+    body = partial(_chunk_gsc_estats, W=W, gram=gram, gram_diag=gram_diag,
+                   sigma2=sigma2, pi=pi, mu=mu, psi=psi, sa=sa, Hp=Hp,
+                   beta=beta, prior_beta=prior_beta)
+    if N <= chunk:
+        return body(y, weight)
+    if N % chunk != 0:
+        raise ValueError(f"shard size {N} not a multiple of chunk {chunk}")
+    nchunks = N // chunk
+    yc = y.reshape(nchunks, chunk, D)
+    wc = weight.reshape(nchunks, chunk)
+
+    def scan_body(carry, xs):
+        F_i, sums_i = body(*xs)
+        return jax.tree_util.tree_map(jnp.add, carry, sums_i), F_i
+
+    zeros = dict(
+        xs=jnp.zeros((D, H), jnp.float32), ss=jnp.zeros((H, H), jnp.float32),
+        s=jnp.zeros((H,), jnp.float32), abs=jnp.float32(0.0),
+        y2=jnp.float32(0.0), n=jnp.float32(0.0),
+        F=jnp.float32(0.0), F_true=jnp.float32(0.0),
+    )
+    sums, F = jax.lax.scan(scan_body, zeros, (yc, wc))
+    return F.reshape(N), sums

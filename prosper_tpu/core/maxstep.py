@@ -1,0 +1,187 @@
+"""The ET E-step for max-superposition models (MCA, MMCA).
+
+Reference behavior: SURVEY.md §2 rows "MCA-ET" (prosper/em/camodels/mca_et.py)
+and "MMCA-ET" (mmca_et.py) — mount unavailable, behavior-level parity:
+
+  MCA :  ybar_d = max_{h active} W_dh         (occlusion-like non-linear
+                                               superposition, W >= 0 data)
+  MMCA:  ybar_d = W_dh*,  h* = argmax_{h active} |W_dh|   (signed variant)
+
+with isotropic Gaussian noise and a Bernoulli(pi) prior, and an M-step that
+distributes each observed dimension's responsibility onto the *winning*
+cause (the reference softens the max with an annealed exponent rho; here we
+use the hard winner — the rho -> inf limit — which the annealed schedule
+converges to; W_noise annealing provides the symmetry breaking instead).
+
+TPU formulation: unlike the linear family, `max` admits no Gram shortcut, so
+the reconstruction ybar IS materialised per (datapoint, state, dim) — but
+only for one (chunk x S x D) tile at a time, with the chunk size chosen so
+the tile stays well inside HBM working set.  The winner indices from the
+max computation are reused for the M-step responsibilities, so the heavy
+tile is built exactly once.  The zero state and the H singleton states are
+closed-form as in the linear family (SURVEY.md §2 "ET base").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from prosper_tpu.core.etstep import LinearStateArrays
+from prosper_tpu.core.select import top_hprime_candidates
+
+
+def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
+                      sa: LinearStateArrays, Hp: int, magnitude: bool,
+                      beta, prior_beta):
+    """E-statistics for one chunk: union {0} ∪ {singletons} ∪ {multi}."""
+    C, D = y.shape
+    H = W.shape[1]
+    S = sa.states.shape[0]
+    f32 = jnp.float32
+    inv2s2 = 0.5 / sigma2
+
+    P = jnp.dot(y, W, preferred_element_type=f32)                       # (C,H)
+    w_norm = jnp.sqrt(jnp.maximum(gram_diag, 1e-30))
+    cand = top_hprime_candidates(P, w_norm, Hp, magnitude)              # (C,Hp)
+
+    Wc = jnp.take(W.T, cand, axis=0)                                    # (C,Hp,D)
+
+    # ---- reconstruction per multi state: winner-take-all over active slots
+    act = sa.states > 0.5                                               # (S,Hp) bool
+    neg_inf = jnp.float32(-3e38)
+    ybar = jnp.full((C, S, D), neg_inf)
+    best = jnp.zeros((C, S, D), jnp.int32)
+    key_val = jnp.full((C, S, D), neg_inf)   # ranking key (W or |W|)
+    for h in range(Hp):
+        vh = Wc[:, h, :][:, None, :]                                    # (C,1,D)
+        kh = jnp.abs(vh) if magnitude else vh
+        kh = jnp.where(act[None, :, h, None], kh, neg_inf)              # (C,S,D)
+        better = kh > key_val
+        key_val = jnp.where(better, kh, key_val)
+        ybar = jnp.where(better, vh, ybar)
+        best = jnp.where(better, h, best)
+    # every multi state has >=2 active slots, so ybar is fully defined
+
+    y_dot = jnp.einsum("nd,nsd->ns", y, ybar)                           # (C,S)
+    ybar2 = jnp.sum(ybar * ybar, axis=2)                                # (C,S)
+    lik_multi = (2.0 * y_dot - ybar2) * inv2s2
+    prior_multi = sa.abs_states * log_odds_scalar                       # (S,)
+    logits_multi = beta * lik_multi + prior_beta * prior_multi[None, :]
+
+    # ---- singletons over ALL H (ybar = W_h for both MCA and MMCA)
+    lik_single = (2.0 * P - gram_diag[None, :]) * inv2s2                # (C,H)
+    logits_single = beta * lik_single + prior_beta * log_odds_scalar
+
+    zero_logit = jnp.zeros((C, 1), f32)
+    logits = jnp.concatenate([zero_logit, logits_single, logits_multi], 1)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.exp(logits - m)
+    Z = jnp.sum(p, axis=1, keepdims=True)
+    q = p / Z
+    logZ = (m + jnp.log(Z))[:, 0]
+
+    y2 = jnp.sum(y * y, axis=1)
+    log_p0 = -jnp.log1p(jnp.exp(log_odds_scalar))
+    log_norm = 0.5 * D * jnp.log(2.0 * jnp.pi * sigma2)
+    F = logZ + (-beta * (y2 * inv2s2) - beta * log_norm
+                + prior_beta * H * log_p0)
+
+    logits_true = jnp.concatenate(
+        [zero_logit, lik_single + log_odds_scalar,
+         lik_multi + prior_multi[None, :]], 1)
+    F_true = (jax.nn.logsumexp(logits_true, axis=1)
+              - y2 * inv2s2 - log_norm + H * log_p0)
+
+    q_zero = q[:, 0]
+    q_single = q[:, 1:1 + H]                                            # (C,H)
+    q_multi = q[:, 1 + H:]                                              # (C,S)
+    wv = w.astype(f32)
+
+    # ---- <s> and activity
+    s_cand = jnp.dot(q_multi, sa.states, preferred_element_type=f32)    # (C,Hp)
+    row_base = jnp.arange(C, dtype=jnp.int32)[:, None] * H
+    s_flat = (row_base + cand).reshape(-1)
+    s_full = (q_single.reshape(-1).at[s_flat].add(s_cand.reshape(-1))
+              .reshape(C, H))
+    sum_s = jnp.sum(s_full * wv[:, None], axis=0)
+    abs_n = jnp.sum(q_single, axis=1) + jnp.dot(
+        q_multi, sa.abs_states, preferred_element_type=f32)
+    sum_abs = jnp.sum(abs_n * wv)
+
+    # ---- winner responsibilities for the M-step:
+    #   A_ndh = sum_s q_ns * [slot h wins dim d in state s]  (candidate slots)
+    qa = q_multi * wv[:, None]                                          # (C,S)
+    accA = []
+    for h in range(Hp):
+        mask_h = (best == h) & (key_val > neg_inf / 2)                  # (C,S,D)
+        accA.append(jnp.einsum("ns,nsd->nd", qa, mask_h.astype(f32)))
+    accA = jnp.stack(accA, axis=1)                                      # (C,Hp,D)
+
+    # scatter (C,Hp,D) -> (H,D), plus singleton/global contributions
+    d_iota = jnp.arange(D, dtype=jnp.int32)[None, None, :]
+    flat_hd = (cand[:, :, None] * D + d_iota).reshape(-1)
+    denom = jnp.zeros((H * D,), f32).at[flat_hd].add(accA.reshape(-1))
+    denom = denom.reshape(H, D)
+    numer = jnp.zeros((H * D,), f32).at[flat_hd].add(
+        (accA * y[:, None, :]).reshape(-1)).reshape(H, D)
+    qsw = q_single * wv[:, None]
+    denom = denom + jnp.sum(qsw, axis=0)[:, None]                       # (H,D)
+    numer = numer + jnp.dot(qsw.T, y, preferred_element_type=f32)       # (H,D)
+
+    # ---- noise residual <||y - ybar||^2>
+    resid_multi = jnp.einsum("ns,ns->n", q_multi, y2[:, None] - 2 * y_dot + ybar2)
+    resid_single = jnp.sum(
+        q_single * (y2[:, None] - 2.0 * P + gram_diag[None, :]), axis=1)
+    resid = q_zero * y2 + resid_single + resid_multi
+    sum_resid = jnp.sum(resid * wv)
+
+    sums = dict(
+        numer=numer, denom=denom, s=sum_s, abs=sum_abs,
+        resid=sum_resid, y2=jnp.sum(y2 * wv), n=jnp.sum(wv),
+        F=jnp.sum(F * wv), F_true=jnp.sum(F_true * wv),
+    )
+    return F, sums
+
+
+def max_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
+                 sigma2, log_odds_scalar, sa: LinearStateArrays, Hp: int,
+                 magnitude: bool, beta, prior_beta,
+                 chunk: int = 256) -> Tuple[jnp.ndarray, Dict]:
+    """Full-shard max-superposition E-step, chunked like linear_et_estep.
+
+    ``chunk`` bounds the (chunk, S, D) reconstruction tile; pick it so
+    chunk * S * D * ~16 bytes fits comfortably in HBM working set.
+    """
+    N, D = y.shape
+    H = W.shape[1]
+    gram_diag = jnp.sum(W * W, axis=0)
+
+    body = partial(_chunk_max_estats, W=W, gram_diag=gram_diag,
+                   sigma2=sigma2, log_odds_scalar=log_odds_scalar, sa=sa,
+                   Hp=Hp, magnitude=magnitude, beta=beta,
+                   prior_beta=prior_beta)
+    if N <= chunk:
+        return body(y, weight)
+    if N % chunk != 0:
+        raise ValueError(f"shard size {N} not a multiple of chunk {chunk}")
+    nchunks = N // chunk
+    yc = y.reshape(nchunks, chunk, D)
+    wc = weight.reshape(nchunks, chunk)
+
+    def scan_body(carry, xs):
+        y_i, w_i = xs
+        F_i, sums_i = body(y_i, w_i)
+        return jax.tree_util.tree_map(jnp.add, carry, sums_i), F_i
+
+    zeros = dict(
+        numer=jnp.zeros((H, D), jnp.float32), denom=jnp.zeros((H, D), jnp.float32),
+        s=jnp.zeros((H,), jnp.float32), abs=jnp.float32(0.0),
+        resid=jnp.float32(0.0), y2=jnp.float32(0.0), n=jnp.float32(0.0),
+        F=jnp.float32(0.0), F_true=jnp.float32(0.0),
+    )
+    sums, F = jax.lax.scan(scan_body, zeros, (yc, wc))
+    return F.reshape(N), sums

@@ -90,11 +90,12 @@ class EM:
 
         if self.dlog is not None:
             rec = dict(scalars)
-            rec["pi"] = np.asarray(jax.device_get(self.params["pi"]))
-            rec["sigma"] = np.asarray(jax.device_get(self.params["sigma"]))
-            if self.log_params_every and (
-                    self.anneal.position % self.log_params_every == 0):
-                rec["W"] = np.asarray(jax.device_get(self.params["W"]))
+            big = self.log_params_every and (
+                self.anneal.position % self.log_params_every == 0)
+            for k, v in self.params.items():
+                arr = np.asarray(jax.device_get(v))
+                if arr.ndim <= 1 or big:   # scalars/vectors always; W etc. rate-limited
+                    rec[k] = arr
             self.dlog.append_all(rec)
 
         if verbose:

@@ -139,6 +139,7 @@ def sched_from_anneal(anneal) -> Dict[str, jnp.ndarray]:
         "W_noise": jnp.float32(s.get("W_noise", 0.0)),
         "pi_noise": jnp.float32(s.get("pi_noise", 0.0)),
         "sigma_noise": jnp.float32(s.get("sigma_noise", 0.0)),
+        "mu_noise": jnp.float32(s.get("mu_noise", 0.0)),
     }
 
 

@@ -1,0 +1,143 @@
+"""GSC: spike-and-slab / Gaussian Sparse Coding.
+
+Reference behavior: SURVEY.md §2 row "GSC" (prosper/em/camodels/gsc.py —
+mount unavailable): s_h = b_h * z_h with b ~ Bernoulli(pi),
+z ~ N(mu, psi); E-step enumerates binary supports with the slab integrated
+out per support (core/gscstep.py); "richer M-step" updates W, pi, sigma plus
+the slab mean/variance:
+
+  W      <- (sum_n y <sz>^T)(sum_n <sz sz^T>)^-1      (least squares)
+  pi     <- ET-corrected mean support size            (as BSC)
+  sigma  <- residual formula with the new W
+  mu     <- sum <s_h z_h> / sum <|s|>
+  psi    <- sum <s_h z_h^2> / sum <|s|>  - 2 mu sum<s_h z_h>/sum<|s|> + mu^2
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prosper_tpu.core import states as states_mod
+from prosper_tpu.core.etstep import state_arrays_from, truncated_prior_logmass
+from prosper_tpu.core.gscstep import gsc_et_estep
+from prosper_tpu.core.select import (
+    exact_count_mask,
+    global_quantile_threshold,
+    ncut_keep_count,
+)
+from prosper_tpu.models.base import ETModel
+from prosper_tpu.parallel.mesh import maybe_psum
+
+
+class GSC(ETModel):
+
+    param_names = ("W", "pi", "sigma", "mu", "psi")
+
+    def __init__(self, D, H, Hprime, gamma, to_learn=None, chunk=1024):
+        super().__init__(D, H, Hprime, gamma, to_learn, chunk)
+        self.space = states_mod.binary_state_space(Hprime, gamma)
+        self.sa = state_arrays_from(self.space)
+
+    def _extra_init(self, y, rng):
+        return {"mu": jnp.float32(0.0), "psi": jnp.float32(1.0)}
+
+    def noisify(self, params, sched, rng):
+        kW, kp, ks, km = jax.random.split(rng, 4)
+        p = dict(params)
+        p["W"] = params["W"] + sched["W_noise"] * jax.random.normal(
+            kW, params["W"].shape, jnp.float32)
+        p["pi"] = jnp.clip(
+            params["pi"] + sched["pi_noise"] * jax.random.normal(kp),
+            1e-6, 1.0 - 1e-6)
+        p["sigma"] = jnp.clip(
+            params["sigma"] + sched["sigma_noise"] * jax.random.normal(ks),
+            1e-5, None)
+        p["mu"] = params["mu"] + sched["mu_noise"] * jax.random.normal(km)
+        return p
+
+    def step_fn(self, params, data, sched, rng, axis_name: Optional[str] = None):
+        y = data["y"]
+        valid = data["valid"]
+        N = y.shape[0]
+
+        rng_noise, rng_partial = jax.random.split(rng)
+        params = self.noisify(params, sched, rng_noise)
+
+        if axis_name is not None:
+            rng_partial = jax.random.fold_in(
+                rng_partial, jax.lax.axis_index(axis_name))
+        pmask = exact_count_mask(rng_partial, N, sched["partial"]) * valid
+
+        logA, logB = truncated_prior_logmass(
+            jnp.log(params["pi"]), self.H, self.gamma)
+        N_total = maybe_psum(jnp.sum(valid), axis_name)
+        keep = ncut_keep_count(N_total, sched["Ncut_factor"], logA)
+        thresh = global_quantile_threshold(data["F_prev"], pmask, keep,
+                                           axis_name)
+        ncut_mask = jnp.where(sched["Ncut_factor"] > 0,
+                              (data["F_prev"] >= thresh).astype(jnp.float32),
+                              1.0)
+        weight = pmask * ncut_mask
+
+        F, sums = gsc_et_estep(
+            y, weight, params["W"], params["sigma"] ** 2, params["pi"],
+            params["mu"], params["psi"], self.sa, self.Hprime,
+            sched["beta"], sched["prior_beta"], self.chunk)
+        sums = jax.tree_util.tree_map(lambda a: maybe_psum(a, axis_name), sums)
+
+        new = dict(params)
+        n_used = jnp.maximum(sums["n"], 1.0)
+        H = self.H
+
+        if "W" in self.to_learn:
+            ss = sums["ss"]
+            ridge = 1e-6 * (jnp.trace(ss) / H + 1.0)
+            new["W"] = jnp.linalg.solve(
+                ss + ridge * jnp.eye(H, dtype=ss.dtype), sums["xs"].T).T
+        if "pi" in self.to_learn:
+            mean_abs = sums["abs"] / n_used
+            new["pi"] = jnp.clip(
+                params["pi"] * jnp.exp(logA - logB) * mean_abs,
+                1e-6, 1.0 - 1e-6)
+        if "sigma" in self.to_learn:
+            W = new["W"]
+            gram = jnp.dot(W.T, W, preferred_element_type=jnp.float32)
+            resid = (sums["y2"] - 2.0 * jnp.sum(W * sums["xs"])
+                     + jnp.sum(gram * sums["ss"]))
+            new["sigma"] = jnp.sqrt(jnp.maximum(resid / (n_used * self.D),
+                                                1e-10))
+        total_abs = jnp.maximum(sums["abs"], 1e-6)
+        sum_z = jnp.sum(sums["s"])
+        sum_z2 = jnp.trace(sums["ss"])
+        if "mu" in self.to_learn:
+            new["mu"] = sum_z / total_abs
+        if "psi" in self.to_learn:
+            mu_new = new["mu"]
+            psi = sum_z2 / total_abs - 2.0 * mu_new * sum_z / total_abs \
+                + mu_new ** 2
+            new["psi"] = jnp.maximum(psi, 1e-6)
+
+        scalars = {
+            "F_total": sums["F"], "F_mean": sums["F"] / n_used,
+            "Q": sums["F_true"], "Q_mean": sums["F_true"] / n_used,
+            "n_used": sums["n"], "N_total": N_total,
+        }
+        return new, F, scalars
+
+    # -- generation -----------------------------------------------------------
+
+    def sample_latents(self, params, N, rng):
+        pi = float(np.asarray(params["pi"]))
+        mu = float(np.asarray(params.get("mu", 0.0)))
+        psi = float(np.asarray(params.get("psi", 1.0)))
+        b = (rng.random((N, self.H)) < pi)
+        z = mu + np.sqrt(psi) * rng.standard_normal((N, self.H))
+        return b * z
+
+    def generate_from_hidden(self, params, s, rng):
+        W = np.asarray(params["W"], np.float64)
+        return s @ W.T

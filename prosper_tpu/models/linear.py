@@ -164,6 +164,24 @@ class LinearETModel(ETModel):
         W = np.asarray(params["W"], np.float64)
         return s @ W.T
 
+    # -- posterior decode (reference: CAModel.inference, SURVEY.md §3.3) ------
+
+    def inference(self, params, data, top_L: int = 10, anneal=None):
+        """Posterior decode on held-out data: top states, probabilities,
+        posterior mean and reconstruction (the serving path)."""
+        from prosper_tpu.core.etstep import linear_et_posterior
+        from prosper_tpu.models.base import sched_from_anneal
+        sched = sched_from_anneal(anneal) if anneal is not None else None
+        beta = sched["beta"] if sched else jnp.float32(1.0)
+        prior_beta = sched["prior_beta"] if sched else jnp.float32(1.0)
+        y = jnp.asarray(data["y"], jnp.float32)
+        out = jax.jit(
+            lambda y_, p: linear_et_posterior(
+                y_, p["W"], p["sigma"] ** 2, self.log_odds(p), self.sa,
+                self.Hprime, self.signed_select, top_L, beta, prior_beta)
+        )(y, params)
+        return out
+
 
 class BSC(LinearETModel):
     """Binary Sparse Coding with Expectation Truncation.

@@ -1,0 +1,150 @@
+"""Maximal-causes models: MCA (max) and MMCA (max-magnitude).
+
+Reference behavior: SURVEY.md §2 rows "MCA-ET"
+(prosper/em/camodels/mca_et.py) and "MMCA-ET" (mmca_et.py) — mount
+unavailable, behavior-level parity.  Binary latents with Bernoulli(pi)
+prior; superposition is the (signed-magnitude) pointwise max; Gaussian
+observation noise.  The M-step assigns each observed dimension to its
+winning cause (see core/maxstep.py for the rho -> inf note) and updates
+
+    W_dh   <- sum_n <A_ndh y_nd> / sum_n <A_ndh>
+    pi     <- ET-corrected mean activity      (as BSC)
+    sigma  <- sqrt( sum <||y - ybar_s||^2> / (N_use * D) )
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prosper_tpu.core import states as states_mod
+from prosper_tpu.core.etstep import (
+    state_arrays_from,
+    truncated_prior_logmass,
+)
+from prosper_tpu.core.maxstep import max_et_estep
+from prosper_tpu.core.select import (
+    exact_count_mask,
+    global_quantile_threshold,
+    ncut_keep_count,
+)
+from prosper_tpu.models.base import ETModel
+from prosper_tpu.parallel.mesh import maybe_psum
+
+
+class MCA(ETModel):
+    """Maximal Causes Analysis: ybar_d = max over active h of W_dh."""
+
+    #: |W|-ranked winner (MMCA) vs plain value max (MCA)
+    magnitude: bool = False
+
+    def __init__(self, D, H, Hprime, gamma, to_learn=None, chunk=256):
+        super().__init__(D, H, Hprime, gamma, to_learn, chunk)
+        self.space = states_mod.binary_state_space(Hprime, gamma)
+        self.sa = state_arrays_from(self.space)
+
+    # -- prior helpers --------------------------------------------------------
+
+    def _log_odds(self, params):
+        pi = params["pi"]
+        return jnp.log(pi) - jnp.log1p(-pi)
+
+    def noisify(self, params, sched, rng):
+        kW, kp, ks = jax.random.split(rng, 3)
+        p = dict(params)
+        p["W"] = params["W"] + sched["W_noise"] * jax.random.normal(
+            kW, params["W"].shape, jnp.float32)
+        p["pi"] = jnp.clip(
+            params["pi"] + sched["pi_noise"] * jax.random.normal(kp),
+            1e-6, 1.0 - 1e-6)
+        p["sigma"] = jnp.clip(
+            params["sigma"] + sched["sigma_noise"] * jax.random.normal(ks),
+            1e-5, None)
+        return p
+
+    # -- fused EM step --------------------------------------------------------
+
+    def step_fn(self, params, data, sched, rng, axis_name: Optional[str] = None):
+        y = data["y"]
+        valid = data["valid"]
+        N = y.shape[0]
+
+        rng_noise, rng_partial = jax.random.split(rng)
+        params = self.noisify(params, sched, rng_noise)
+
+        if axis_name is not None:
+            rng_partial = jax.random.fold_in(
+                rng_partial, jax.lax.axis_index(axis_name))
+        pmask = exact_count_mask(rng_partial, N, sched["partial"]) * valid
+
+        logA, logB = truncated_prior_logmass(
+            jnp.log(params["pi"]), self.H, self.gamma)
+        N_total = maybe_psum(jnp.sum(valid), axis_name)
+        keep = ncut_keep_count(N_total, sched["Ncut_factor"], logA)
+        thresh = global_quantile_threshold(data["F_prev"], pmask, keep,
+                                           axis_name)
+        ncut_mask = jnp.where(sched["Ncut_factor"] > 0,
+                              (data["F_prev"] >= thresh).astype(jnp.float32),
+                              1.0)
+        weight = pmask * ncut_mask
+
+        sigma2 = params["sigma"] ** 2
+        F, sums = max_et_estep(
+            y, weight, params["W"], sigma2, self._log_odds(params), self.sa,
+            self.Hprime, self.magnitude, sched["beta"], sched["prior_beta"],
+            self.chunk)
+        sums = jax.tree_util.tree_map(lambda a: maybe_psum(a, axis_name), sums)
+
+        new = dict(params)
+        n_used = jnp.maximum(sums["n"], 1.0)
+        if "W" in self.to_learn:
+            denom = sums["denom"]                                       # (H,D)
+            W_new = jnp.where(denom > 1e-6, sums["numer"] / jnp.maximum(
+                denom, 1e-6), params["W"].T).T
+            new["W"] = W_new
+        if "pi" in self.to_learn:
+            mean_abs = sums["abs"] / n_used
+            pi = params["pi"] * jnp.exp(logA - logB) * mean_abs
+            new["pi"] = jnp.clip(pi, 1e-6, 1.0 - 1e-6)
+        if "sigma" in self.to_learn:
+            sigma2_new = jnp.maximum(sums["resid"] / (n_used * self.D), 1e-10)
+            new["sigma"] = jnp.sqrt(sigma2_new)
+
+        scalars = {
+            "F_total": sums["F"], "F_mean": sums["F"] / n_used,
+            "Q": sums["F_true"], "Q_mean": sums["F_true"] / n_used,
+            "n_used": sums["n"], "N_total": N_total,
+        }
+        return new, F, scalars
+
+    # -- generation -----------------------------------------------------------
+
+    def sample_latents(self, params, N, rng):
+        pi = float(np.asarray(params["pi"]))
+        return (rng.random((N, self.H)) < pi).astype(np.float64)
+
+    def generate_from_hidden(self, params, s, rng):
+        W = np.asarray(params["W"], np.float64)                         # (D,H)
+        N = s.shape[0]
+        act = s > 0.5
+        if self.magnitude:
+            key = np.where(act[:, None, :], np.abs(W)[None, :, :], -np.inf)
+            idx = np.argmax(key, axis=2)                                # (N,D)
+            ybar = np.take_along_axis(W[None, :, :].repeat(N, 0), idx[:, :, None],
+                                      axis=2)[:, :, 0]
+            ybar[~act.any(axis=1)] = 0.0
+        else:
+            vals = np.where(act[:, None, :], W[None, :, :], -np.inf)
+            ybar = vals.max(axis=2)
+            ybar[~act.any(axis=1)] = 0.0
+        return ybar
+
+
+class MMCA(MCA):
+    """Max-magnitude causes: the winning cause has the largest |W_dh|
+    (signed version of MCA for zero-mean data — SURVEY.md §2 "MMCA-ET")."""
+
+    magnitude = True

@@ -1,0 +1,85 @@
+"""CLI end-to-end: train/generate/infer on tiny configs (SURVEY.md §2 L7)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from prosper_tpu import cli
+
+
+@pytest.fixture()
+def tiny_config(tmp_path):
+    p = tmp_path / "cfg.py"
+    p.write_text(
+        "from prosper_tpu.engine.anneal import LinearAnnealing\n"
+        "from prosper_tpu.models import BSC\n"
+        "from prosper_tpu.data.bars import bars_gt_params\n"
+        "model = BSC(D=16, H=8, Hprime=5, gamma=3)\n"
+        "gt_params = bars_gt_params(model, intensity=10.0, sigma=1.0)\n"
+        "N = 300\nseed = 3\n"
+        "anneal = LinearAnnealing(15)\n"
+        "anneal['T'] = [(0.0, 2.0), (0.7, 1.0)]\n"
+        "anneal['W_noise'] = [(0.0, 1.0), (0.7, 0.0)]\n")
+    return str(p)
+
+
+def test_cli_train_py_config(tiny_config, tmp_path):
+    out = str(tmp_path / "run")
+    rc = cli.main(["train", tiny_config, "-o", out, "-q"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "result.h5"))
+    assert os.path.exists(os.path.join(out, "checkpoint.h5"))
+    rows = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    assert len(rows) == 15
+    assert rows[-1]["Q_mean"] > rows[0]["Q_mean"]
+
+
+def test_cli_generate_then_infer(tiny_config, tmp_path):
+    out = str(tmp_path / "run")
+    gen = str(tmp_path / "gen.h5")
+    rc = cli.main(["generate", tiny_config, "-N", "200", "-o", gen])
+    assert rc == 0
+    rc = cli.main(["train", tiny_config, "-o", out, "-q"])
+    assert rc == 0
+    inf = str(tmp_path / "inf.h5")
+    rc = cli.main(["infer", tiny_config,
+                   "-c", os.path.join(out, "checkpoint.h5"),
+                   "--data", gen, "-o", inf, "--top", "4"])
+    assert rc == 0
+    import h5py
+    with h5py.File(inf) as f:
+        assert f["top_states"].shape == (200, 4, 8)
+        assert f["recon"].shape == (200, 16)
+
+
+def test_cli_train_toml(tmp_path):
+    cfg = tmp_path / "c.toml"
+    cfg.write_text(
+        '[model]\ntype = "mog"\nD = 4\nK = 2\n\n'
+        "[anneal]\nsteps = 10\n")
+    # mog needs data: make a tiny h5
+    from prosper_tpu.data.patches import write_h5_dataset
+    rng = np.random.default_rng(0)
+    y = np.concatenate([rng.standard_normal((100, 4)) + 3,
+                        rng.standard_normal((100, 4)) - 3])
+    d = str(tmp_path / "d.h5")
+    write_h5_dataset(d, y.astype(np.float32))
+    out = str(tmp_path / "run")
+    rc = cli.main(["train", str(cfg), "--data", d, "-o", out, "-q"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "result.h5"))
+
+
+def test_cli_train_mesh(tiny_config, tmp_path):
+    out = str(tmp_path / "runm")
+    rc = cli.main(["train", tiny_config, "-o", out, "-q", "--mesh", "data=4"])
+    assert rc == 0
+
+
+def test_cli_bad_config(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text("x: 1")
+    with pytest.raises(ValueError):
+        cli.load_config(str(p))

@@ -1,0 +1,62 @@
+"""Posterior decode / inference path (reference: CAModel.inference)."""
+
+import numpy as np
+import pytest
+
+from prosper_tpu.data.bars import bars_gt_params
+from prosper_tpu.models.linear import BSC, TSC
+
+
+@pytest.fixture(scope="module")
+def trained_like_setup():
+    """Use the ground-truth params directly: inference should decode the
+    generating states for low-noise data."""
+    R = 4
+    model = BSC(R * R, 2 * R, 5, 3)
+    gt = bars_gt_params(model, intensity=10.0, sigma=0.5, pi=0.15)
+    data = model.generate_data(gt, 200, seed=42)
+    return model, gt, data
+
+
+def test_inference_shapes_and_normalisation(trained_like_setup):
+    model, gt, data = trained_like_setup
+    out = model.inference(gt, data, top_L=8)
+    N, H, D = 200, model.H, model.D
+    assert out["top_states"].shape == (N, 8, H)
+    assert out["top_probs"].shape == (N, 8)
+    assert out["s_mean"].shape == (N, H)
+    assert out["recon"].shape == (N, D)
+    p = np.asarray(out["top_probs"])
+    # sorted descending, valid probabilities
+    assert (np.diff(p, axis=1) <= 1e-6).all()
+    assert (p >= 0).all() and (p.sum(axis=1) <= 1.0 + 1e-5).all()
+
+
+def test_inference_decodes_generating_states(trained_like_setup):
+    model, gt, data = trained_like_setup
+    out = model.inference(gt, data, top_L=5)
+    s_true = np.asarray(data["s"])
+    # restrict to datapoints whose true state lies in the truncated space
+    k = s_true.sum(axis=1)
+    ok = k <= model.gamma
+    best = np.asarray(out["top_states"][:, 0, :])
+    match = (best[ok] == s_true[ok]).all(axis=1).mean()
+    assert match > 0.9, f"MAP decode accuracy {match:.2f}"
+    # reconstruction error bounded by noise scale
+    resid = np.asarray(out["recon"]) - s_true @ np.asarray(gt["W"]).T
+    rms = np.sqrt((resid[ok] ** 2).mean())
+    assert rms < 1.5  # sigma=0.5 data
+
+
+def test_inference_tsc_signed():
+    R = 4
+    model = TSC(R * R, 2 * R, 5, 3)
+    gt = bars_gt_params(model, intensity=10.0, sigma=0.5, pi=0.15)
+    data = model.generate_data(gt, 100, seed=7)
+    out = model.inference(gt, data, top_L=3)
+    s_true = np.asarray(data["s"])
+    k = np.abs(s_true).sum(axis=1)
+    ok = k <= model.gamma
+    best = np.asarray(out["top_states"][:, 0, :])
+    match = (best[ok] == s_true[ok]).all(axis=1).mean()
+    assert match > 0.85, f"ternary MAP decode accuracy {match:.2f}"

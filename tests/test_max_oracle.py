@@ -1,0 +1,153 @@
+"""MCA/MMCA E-step vs a float64 brute-force oracle + bars integration."""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.special import logsumexp
+
+from prosper_tpu.core.etstep import state_arrays_from
+from prosper_tpu.core.maxstep import max_et_estep
+from prosper_tpu.core.states import binary_state_space
+from prosper_tpu.models.mca import MCA, MMCA
+
+
+def max_oracle(y, W, sigma, pi, Hp, gamma, magnitude, candidates,
+               beta=1.0, prior_beta=1.0):
+    """Brute-force union E-step for max models, float64."""
+    y = np.asarray(y, np.float64)
+    W = np.asarray(W, np.float64)
+    N, D = y.shape
+    H = W.shape[1]
+    lo = np.log(pi) - np.log(1 - pi)
+    sigma2 = sigma ** 2
+    inv2s2 = 0.5 / sigma2
+
+    def ybar_of(s_full):
+        act = s_full > 0.5
+        if not act.any():
+            return np.zeros(D), None
+        cols = np.where(act)[0]
+        sub = W[:, cols]                               # (D, k)
+        key = np.abs(sub) if magnitude else sub
+        win = np.argmax(key, axis=1)
+        return sub[np.arange(D), win], cols[win]
+
+    sums = dict(numer=np.zeros((H, D)), denom=np.zeros((H, D)),
+                s=np.zeros(H), abs=0.0, resid=0.0, y2=0.0, n=0.0, F=0.0)
+    F_out = np.zeros(N)
+    for n in range(N):
+        cand = candidates[n]
+        states = [np.zeros(H)]
+        for h in range(H):
+            e = np.zeros(H); e[h] = 1.0
+            states.append(e)
+        for k in range(2, gamma + 1):
+            for sup in itertools.combinations(range(Hp), k):
+                e = np.zeros(H)
+                e[cand[list(sup)]] = 1.0
+                states.append(e)
+        logits, ybars, winners = [], [], []
+        for s in states:
+            yb, win = ybar_of(s)
+            lik = -np.sum((y[n] - yb) ** 2) * inv2s2
+            prior = s.sum() * lo
+            logits.append(beta * lik + prior_beta * prior)
+            ybars.append(yb); winners.append(win)
+        logits = np.array(logits)
+        const = (-beta * 0.5 * D * np.log(2 * np.pi * sigma2)
+                 + prior_beta * H * np.log(1 - pi))
+        # note oracle folds -beta*y2 into lik already
+        Fn = logsumexp(logits) + const
+        F_out[n] = Fn
+        q = np.exp(logits - logsumexp(logits))
+        for qi, s, yb, win in zip(q, states, ybars, winners):
+            sums["s"] += qi * s
+            sums["abs"] += qi * s.sum()
+            sums["resid"] += qi * np.sum((y[n] - yb) ** 2)
+            if win is not None:
+                for d in range(D):
+                    sums["denom"][win[d], d] += qi
+                    sums["numer"][win[d], d] += qi * y[n, d]
+        sums["y2"] += y[n] @ y[n]
+        sums["n"] += 1
+        sums["F"] += Fn
+    return F_out, sums
+
+
+@pytest.mark.parametrize("magnitude", [False, True])
+def test_max_estep_matches_oracle(magnitude):
+    N, D, H, Hp, gamma = 12, 9, 6, 6, 3    # Hp=H: tie-insensitive selection
+    rng = np.random.default_rng(4)
+    W = np.abs(rng.standard_normal((D, H))).astype(np.float32) + 0.1
+    if magnitude:
+        W *= rng.choice([-1.0, 1.0], size=W.shape).astype(np.float32)
+    y = rng.standard_normal((N, D)).astype(np.float32) * 1.5
+    sigma, pi = 0.9, 0.2
+
+    space = binary_state_space(Hp, gamma)
+    sa = state_arrays_from(space)
+    F, sums = jax.jit(
+        lambda y_: max_et_estep(y_, jnp.ones((N,), jnp.float32),
+                                jnp.asarray(W), jnp.float32(sigma ** 2),
+                                jnp.float32(np.log(pi / (1 - pi))), sa, Hp,
+                                magnitude, jnp.float32(1.0), jnp.float32(1.0),
+                                chunk=2048)
+    )(jnp.asarray(y))
+
+    cand = np.tile(np.arange(H), (N, 1))
+    F_o, sums_o = max_oracle(y, W, sigma, pi, Hp, gamma, magnitude, cand)
+
+    np.testing.assert_allclose(np.asarray(F), F_o, rtol=3e-4, atol=3e-4)
+    for key in ("numer", "denom", "s", "abs", "resid", "y2", "n", "F"):
+        np.testing.assert_allclose(np.asarray(sums[key]), sums_o[key],
+                                   rtol=3e-3, atol=3e-3, err_msg=key)
+
+
+def _anneal(steps=60):
+    from prosper_tpu.engine.anneal import LinearAnnealing
+    a = LinearAnnealing(steps)
+    a["T"] = [(0.0, 2.0), (0.7, 1.0)]
+    a["W_noise"] = [(0.0, 1.0), (0.7, 0.0)]
+    # cut datapoints with more than gamma active causes once W stabilises,
+    # so sigma is estimated on explainable data (the ET Ncut mechanism)
+    a["Ncut_factor"] = [(0.5, 0.0), (0.8, 1.0)]
+    return a
+
+
+def test_mca_bars_recovery():
+    """MCA bars: overlapping bars combine by max (occlusion), all recovered."""
+    from prosper_tpu.data.bars import bars_gt_params, count_recovered_bars
+    from prosper_tpu.engine.em import EM
+
+    R = 4
+    D, H, Hp, gamma, N = R * R, 2 * R, 6, 3, 1000
+    model = MCA(D, H, Hp, gamma, chunk=1000)
+    gt = bars_gt_params(model, intensity=10.0, sigma=1.0)
+    data = model.generate_data(gt, N, seed=21)
+    em = EM(model, _anneal(60), {"y": data["y"]}, seed=13)
+    params = em.run()
+    n_rec = count_recovered_bars(np.asarray(params["W"]),
+                                 np.asarray(gt["W"]), threshold=0.8)
+    assert n_rec == H, f"recovered {n_rec}/{H} bars (MCA)"
+    assert abs(float(params["sigma"]) - 1.0) < 0.3
+
+
+def test_mmca_bars_recovery():
+    """MMCA: alternating-sign bars, winner by |W|."""
+    from prosper_tpu.data.bars import bars_gt_params, count_recovered_bars
+    from prosper_tpu.engine.em import EM
+
+    R = 4
+    D, H, Hp, gamma, N = R * R, 2 * R, 6, 3, 1000
+    model = MMCA(D, H, Hp, gamma, chunk=1000)
+    gt = bars_gt_params(model, intensity=10.0, sigma=1.0, neg_bars=True)
+    data = model.generate_data(gt, N, seed=22)
+    em = EM(model, _anneal(60), {"y": data["y"]}, seed=14)
+    params = em.run()
+    n_rec = count_recovered_bars(np.asarray(params["W"]),
+                                 np.asarray(gt["W"]), threshold=0.8,
+                                 signed=True)
+    assert n_rec >= H - 1, f"recovered {n_rec}/{H} bars (MMCA)"
