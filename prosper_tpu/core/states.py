@@ -73,18 +73,60 @@ def n_multi_states(Hp: int, gamma: int, n_values: int = 1, min_active: int = 2) 
     return sum(comb(Hp, k) * (n_values ** k) for k in range(min_active, gamma + 1))
 
 
+def _load_native():
+    """ctypes binding to native/libprosper_enum.so (optional accelerator)."""
+    import ctypes
+    import os
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    for cand in (os.path.join(here, "native", "libprosper_enum.so"),
+                 os.path.join(os.path.dirname(here), "native",
+                              "libprosper_enum.so")):
+        if os.path.exists(cand):
+            try:
+                lib = ctypes.CDLL(cand)
+            except OSError:
+                return None
+            f32p = ctypes.POINTER(ctypes.c_float)
+            lib.prosper_enum_count.restype = ctypes.c_int64
+            lib.prosper_enum_count.argtypes = [ctypes.c_int32] * 4
+            lib.prosper_enum_fill.restype = ctypes.c_int64
+            lib.prosper_enum_fill.argtypes = (
+                [ctypes.c_int32] * 4 + [f32p] * 5)
+            return lib
+    return None
+
+
+_NATIVE = None
+_NATIVE_CHECKED = False
+
+
+def _native_lib():
+    global _NATIVE, _NATIVE_CHECKED
+    if not _NATIVE_CHECKED:
+        _NATIVE = _load_native()
+        _NATIVE_CHECKED = True
+    return _NATIVE
+
+
 def discrete_state_space(
     Hp: int,
     gamma: int,
     values,
     min_active: int = 2,
     dtype=np.float32,
+    use_native: bool = True,
+    native_min_states: int = 4096,
 ) -> StateSpace:
     """Enumerate all states over Hp slots with min_active..gamma active units,
     each active unit taking one of the given non-zero ``values``.
 
     Ordering is deterministic: by support size, then lexicographic support,
     then lexicographic value assignment — so trajectories are reproducible.
+
+    When native/libprosper_enum.so is built (native/build.sh) and the space
+    is large, enumeration runs in C++ (same ordering contract); the numpy
+    path below is the reference implementation and always available.
     """
     values = np.asarray(values, dtype=dtype)
     if values.ndim != 1 or values.size == 0:
@@ -96,9 +138,27 @@ def discrete_state_space(
 
     K = values.size
     S = n_multi_states(Hp, gamma, K, min_active)
+
+    lib = _native_lib() if (use_native and dtype == np.float32) else None
+    if lib is not None and S >= native_min_states:
+        import ctypes
+        states = np.zeros((S, Hp), np.float32)
+        value_counts = np.zeros((S, K), np.float32)
+        abs_states = np.zeros((S,), np.float32)
+        outer = np.zeros((S, Hp * Hp), np.float32)
+        vals32 = np.ascontiguousarray(values, np.float32)
+        p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        n = lib.prosper_enum_fill(Hp, gamma, K, min_active, p(vals32),
+                                  p(states), p(value_counts), p(abs_states),
+                                  p(outer))
+        if n == S:
+            return StateSpace(states=states, abs_states=abs_states,
+                              value_counts=value_counts, values=values,
+                              outer=outer)
+        # fall through to the numpy reference path on any mismatch
+
     states = np.zeros((S, Hp), dtype=dtype)
     value_counts = np.zeros((S, K), dtype=dtype)
-
     i = 0
     for k in range(min_active, gamma + 1):
         for support in itertools.combinations(range(Hp), k):
