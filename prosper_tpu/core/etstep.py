@@ -64,13 +64,24 @@ def state_arrays_from(space) -> LinearStateArrays:
 
 
 def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArrays,
-                  Hp: int, signed_select: bool, beta, prior_beta):
+                  Hp: int, signed_select: bool, beta, prior_beta,
+                  state_axis=None, n_state_shards: int = 1):
     """E-statistics for one chunk of datapoints.
 
     y : (C, D), w : (C,) accumulation weights (Ncut/partial/padding mask).
     Returns (F, partial-sum pytree).  F is the per-datapoint truncated
     log-pseudo-likelihood *including* all constant terms (used for logging
     free energy and for the next iteration's Ncut ranking).
+
+    State sharding (the sequence-parallel analogue, SURVEY.md §5.7): with
+    ``state_axis`` set (inside shard_map over a ('data','state') mesh), the
+    S multi-states are split into ``n_state_shards`` contiguous slices; each
+    device evaluates only its slice and the softmax is combined across the
+    axis with the online-logsumexp algebra (pmax of the running max, psum of
+    the rescaled mass) — exactly ring-attention's correction, over ICI.  The
+    zero/singleton parts and the per-datapoint scalars are owned by
+    state-rank 0 so nothing is double counted; the caller psums the suff
+    stats over BOTH mesh axes.
     """
     C, D = y.shape
     H = W.shape[1]
@@ -87,11 +98,35 @@ def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArr
     G = gram[cand[:, :, None], cand[:, None, :]]                        # (C, Hp, Hp)
     Gf = G.reshape(C, Hp * Hp)
 
+    # ---- local slice of the enumerated states -------------------------------
+    if state_axis is not None and n_state_shards > 1:
+        S_pad = -(-S // n_state_shards) * n_state_shards
+        S_loc = S_pad // n_state_shards
+        pad = S_pad - S
+        states_p = jnp.pad(sa.states, ((0, pad), (0, 0)))
+        outer_p = jnp.pad(sa.outer, ((0, pad), (0, 0)))
+        vcount_p = jnp.pad(sa.value_counts, ((0, pad), (0, 0)))
+        absst_p = jnp.pad(sa.abs_states, (0, pad))
+        svalid_p = jnp.pad(jnp.ones((S,), f32), (0, pad))
+        srank = jax.lax.axis_index(state_axis)
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, srank * S_loc, S_loc, 0)
+        states, outer, vcounts, absst, svalid = (
+            sl(states_p), sl(outer_p), sl(vcount_p), sl(absst_p), sl(svalid_p))
+        own_zs = (srank == 0).astype(f32)      # zero/singleton owner
+    else:
+        states, outer, vcounts, absst = (sa.states, sa.outer,
+                                         sa.value_counts, sa.abs_states)
+        svalid = jnp.ones((S,), f32)
+        own_zs = jnp.float32(1.0)
+
+    neg = jnp.float32(-3e38)
+
     # ---- log pseudo-joint over the truncated union --------------------------
-    lik_multi = (2.0 * jnp.dot(proj, sa.states.T, preferred_element_type=f32)
-                 - jnp.dot(Gf, sa.outer.T, preferred_element_type=f32)) * inv2s2
-    prior_multi = sa.value_counts @ log_odds                            # (S,)
+    lik_multi = (2.0 * jnp.dot(proj, states.T, preferred_element_type=f32)
+                 - jnp.dot(Gf, outer.T, preferred_element_type=f32)) * inv2s2
+    prior_multi = vcounts @ log_odds                                    # (S_loc,)
     logits_multi = beta * lik_multi + prior_beta * prior_multi[None, :]
+    logits_multi = jnp.where(svalid[None, :] > 0, logits_multi, neg)
 
     # singletons over ALL H units, one per non-zero value
     v = sa.values                                                       # (K,)
@@ -99,13 +134,18 @@ def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArr
                   - gram_diag[None, :, None] * (v ** 2)[None, None, :]) * inv2s2
     logits_single = beta * lik_single + prior_beta * log_odds[None, None, :]
     logits_single = logits_single.reshape(C, H * K)
+    logits_single = jnp.where(own_zs > 0, logits_single, neg)
 
-    zero_logit = jnp.zeros((C, 1), f32)
+    zero_logit = jnp.where(own_zs > 0, jnp.zeros((C, 1), f32), neg)
     logits = jnp.concatenate([zero_logit, logits_single, logits_multi], axis=1)
 
     m = jnp.max(logits, axis=1, keepdims=True)
+    if state_axis is not None and n_state_shards > 1:
+        m = jax.lax.pmax(m, state_axis)
     p = jnp.exp(logits - m)
-    Z = jnp.sum(p, axis=1, keepdims=True)
+    Z_local = jnp.sum(p, axis=1, keepdims=True)
+    Z = (jax.lax.psum(Z_local, state_axis)
+         if state_axis is not None and n_state_shards > 1 else Z_local)
     q = p / Z                                                            # posterior
     logZ = (m + jnp.log(Z))[:, 0]
 
@@ -119,9 +159,20 @@ def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArr
     # temperature-comparable free energy used for logging / monotonicity
     logits_true = jnp.concatenate(
         [zero_logit,
-         (lik_single + log_odds[None, None, :]).reshape(C, H * K),
-         lik_multi + prior_multi[None, :]], axis=1)
-    F_true = (jax.nn.logsumexp(logits_true, axis=1)
+         jnp.where(own_zs > 0,
+                   (lik_single + log_odds[None, None, :]).reshape(C, H * K),
+                   neg),
+         jnp.where(svalid[None, :] > 0, lik_multi + prior_multi[None, :],
+                   neg)], axis=1)
+    m_t = jnp.max(logits_true, axis=1, keepdims=True)
+    if state_axis is not None and n_state_shards > 1:
+        m_t = jax.lax.pmax(m_t, state_axis)
+        Z_t = jax.lax.psum(
+            jnp.sum(jnp.exp(logits_true - m_t), axis=1, keepdims=True),
+            state_axis)
+    else:
+        Z_t = jnp.sum(jnp.exp(logits_true - m_t), axis=1, keepdims=True)
+    F_true = ((m_t + jnp.log(Z_t))[:, 0]
               - y2 * inv2s2 - log_norm + H * log_p0)
 
     # ---- sufficient statistics ---------------------------------------------
@@ -130,8 +181,8 @@ def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArr
 
     s_single = q_single @ v                                              # (C, H)
     ss_diag_single = q_single @ (v ** 2)                                 # (C, H)
-    s_cand = jnp.dot(q_multi, sa.states, preferred_element_type=f32)     # (C, Hp)
-    ss_cand = jnp.dot(q_multi, sa.outer, preferred_element_type=f32)     # (C, Hp^2)
+    s_cand = jnp.dot(q_multi, states, preferred_element_type=f32)        # (C, Hp)
+    ss_cand = jnp.dot(q_multi, outer, preferred_element_type=f32)        # (C, Hp^2)
 
     # flat 1-D scatters (XLA lowers these far better than broadcasting-index
     # scatters, which showed pathological compile times on some backends)
@@ -152,16 +203,19 @@ def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArr
     sum_ss = sum_ss + jnp.diag(sum_ss_diag)                              # (H, H)
 
     abs_n = (jnp.sum(q_single, axis=(1, 2))
-             + jnp.dot(q_multi, sa.abs_states, preferred_element_type=f32))
+             + jnp.dot(q_multi, absst, preferred_element_type=f32))
     sum_abs = jnp.sum(abs_n * wv)
-    vc_n = jnp.sum(q_single, axis=1) + jnp.dot(q_multi, sa.value_counts,
+    vc_n = jnp.sum(q_single, axis=1) + jnp.dot(q_multi, vcounts,
                                                preferred_element_type=f32)  # (C,K)
     sum_vc = jnp.sum(vc_n * wv[:, None], axis=0)                         # (K,)
 
+    # per-datapoint scalars are owned by state-rank 0 (the caller psums the
+    # sums over the state axis too, so contributions must count once)
     sums = dict(
         xs=sum_xs, ss=sum_ss, s=sum_s, abs=sum_abs, vc=sum_vc,
-        y2=jnp.sum(y2 * wv), n=jnp.sum(wv), F=jnp.sum(F * wv),
-        F_true=jnp.sum(F_true * wv),
+        y2=own_zs * jnp.sum(y2 * wv), n=own_zs * jnp.sum(wv),
+        F=own_zs * jnp.sum(F * wv),
+        F_true=own_zs * jnp.sum(F_true * wv),
     )
     return F, sums
 
@@ -169,12 +223,16 @@ def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArr
 def linear_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
                     sigma2, log_odds: jnp.ndarray, sa: LinearStateArrays,
                     Hp: int, signed_select: bool, beta, prior_beta,
-                    chunk: int = 2048) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+                    chunk: int = 2048, state_axis=None,
+                    n_state_shards: int = 1
+                    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Full-shard E-step with chunked online accumulation.
 
     Returns (F_per_datapoint (N,), summed-suff-stats dict).  The chunk size
     is static; N must be a multiple of it unless N <= chunk (pad upstream
-    with ``weight==0`` rows — see data loaders).
+    with ``weight==0`` rows — see data loaders).  With ``state_axis`` set,
+    the enumerated-state dimension is sharded across that mesh axis
+    (see _chunk_estats) and the caller must psum the sums over it as well.
     """
     N, D = y.shape
     H = W.shape[1]
@@ -183,7 +241,8 @@ def linear_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
 
     body = partial(_chunk_estats, W=W, gram=gram, gram_diag=gram_diag,
                    sigma2=sigma2, log_odds=log_odds, sa=sa, Hp=Hp,
-                   signed_select=signed_select, beta=beta, prior_beta=prior_beta)
+                   signed_select=signed_select, beta=beta, prior_beta=prior_beta,
+                   state_axis=state_axis, n_state_shards=n_state_shards)
 
     if N <= chunk:
         return body(y, weight)

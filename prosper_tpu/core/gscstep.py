@@ -228,6 +228,97 @@ def _chunk_gsc_estats(y, w, W, gram, gram_diag, sigma2, pi, mu, psi,
     return F, sums
 
 
+def gsc_posterior(y: jnp.ndarray, W: jnp.ndarray, sigma2, pi, mu, psi,
+                  sa: LinearStateArrays, Hp: int, top_L: int = 10,
+                  beta=1.0, prior_beta=1.0) -> Dict[str, jnp.ndarray]:
+    """Posterior decode for GSC: support probabilities p(b_h=1|y), slab
+    means <s_h z_h>, reconstruction W<sz>, top supports, and F."""
+    f32 = jnp.float32
+    N, D = y.shape
+    H = W.shape[1]
+    S = sa.states.shape[0]
+    beta = jnp.asarray(beta, f32)
+    prior_beta = jnp.asarray(prior_beta, f32)
+
+    gram = jnp.dot(W.T, W, preferred_element_type=f32)
+    gram_diag = jnp.diagonal(gram)
+    inv_s2 = 1.0 / sigma2
+    inv_psi = 1.0 / psi
+    log_odds = jnp.log(pi) - jnp.log1p(-pi)
+
+    P = jnp.dot(y, W, preferred_element_type=f32)
+    w_norm = jnp.sqrt(jnp.maximum(gram_diag, 1e-30))
+    cand = top_hprime_candidates(P, w_norm, Hp, signed=True)
+    proj = jnp.take_along_axis(P, cand, axis=1)
+    G = gram[cand[:, :, None], cand[:, None, :]]
+
+    act = (sa.states > 0.5).astype(f32)
+    k_s = sa.abs_states
+    act_ab = act[:, :, None] * act[:, None, :]
+    eye = jnp.eye(Hp, dtype=f32)
+    diag_term = act * inv_psi + (1.0 - act)
+    M = (act_ab[None] * (G[:, None] * inv_s2)
+         + jnp.einsum("sh,hk->shk", diag_term, eye)[None])
+    b = act[None] * (proj[:, None, :] * inv_s2 + mu * inv_psi)
+    chol = chol_small(M)
+    logdet = cho_logdet_small(chol)
+    kappa = cho_solve_vec_small(chol, b)
+    bMb = jnp.sum(b * kappa, axis=-1)
+
+    lik_multi = (-0.5 * k_s[None, :] * jnp.log(psi) - 0.5 * logdet
+                 - k_s[None, :] * (mu * mu) * (0.5 * inv_psi) + 0.5 * bMb)
+    prior_multi = k_s * log_odds
+    M1 = inv_psi + gram_diag * inv_s2
+    b1 = P * inv_s2 + mu * inv_psi
+    kappa1 = b1 / M1[None, :]
+    lik_single = (-0.5 * jnp.log(psi) - 0.5 * jnp.log(M1)[None, :]
+                  - (mu * mu) * (0.5 * inv_psi) + 0.5 * b1 * kappa1)
+    logits = jnp.concatenate(
+        [jnp.zeros((N, 1), f32),
+         beta * lik_single + prior_beta * log_odds,
+         beta * lik_multi + prior_beta * prior_multi[None, :]], 1)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.exp(logits - m)
+    Z = jnp.sum(p, axis=1, keepdims=True)
+    q = p / Z
+    y2 = jnp.sum(y * y, axis=1)
+    F = ((m + jnp.log(Z))[:, 0] - beta * (0.5 * y2 * inv_s2)
+         - beta * 0.5 * D * jnp.log(2.0 * jnp.pi * sigma2)
+         + prior_beta * H * jnp.log1p(-pi))
+
+    q_single = q[:, 1:1 + H]
+    q_multi = q[:, 1 + H:]
+    rows = jnp.arange(N, dtype=jnp.int32)[:, None] * H
+    flat = (rows + cand).reshape(-1)
+    # support posterior p(b_h = 1 | y)
+    b_cand = jnp.dot(q_multi, act, preferred_element_type=f32)
+    b_mean = (q_single.reshape(-1).at[flat].add(b_cand.reshape(-1))
+              .reshape(N, H))
+    # slab means <s_h z_h>
+    sz_cand = jnp.einsum("ns,nsh->nh", q_multi, kappa)
+    sz_mean = ((q_single * kappa1).reshape(-1)
+               .at[flat].add(sz_cand.reshape(-1)).reshape(N, H))
+    recon = jnp.dot(sz_mean, W.T, preferred_element_type=f32)
+
+    top_q, top_u = jax.lax.top_k(q, top_L)
+    u = top_u - 1
+    is_single = (u >= 0) & (u < H)
+    single_vec = jax.nn.one_hot(jnp.where(is_single, u, 0), H,
+                                dtype=f32) * is_single[..., None]
+    s_idx = jnp.clip(u - H, 0, S - 1)
+    is_multi = u >= H
+    NL = N * top_L
+    flat_rows = jnp.repeat(jnp.arange(N, dtype=jnp.int32), top_L)
+    base = (jnp.arange(NL, dtype=jnp.int32)[:, None] * H + cand[flat_rows])
+    multi_vec = (jnp.zeros((NL * H,), f32)
+                 .at[base.reshape(-1)]
+                 .add((act[s_idx] * is_multi[..., None])
+                      .reshape(NL, Hp).reshape(-1))
+                 .reshape(N, top_L, H))
+    return {"top_states": single_vec + multi_vec, "top_probs": top_q,
+            "b_mean": b_mean, "s_mean": sz_mean, "recon": recon, "F": F}
+
+
 def gsc_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
                  sigma2, pi, mu, psi, sa: LinearStateArrays, Hp: int,
                  beta, prior_beta, chunk: int = 1024

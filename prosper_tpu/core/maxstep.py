@@ -147,6 +147,92 @@ def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
     return F, sums
 
 
+def max_et_posterior(y: jnp.ndarray, W: jnp.ndarray, sigma2,
+                     log_odds_scalar, sa: LinearStateArrays, Hp: int,
+                     magnitude: bool, top_L: int = 10,
+                     beta=1.0, prior_beta=1.0) -> Dict[str, jnp.ndarray]:
+    """Posterior decode for max models (reference: inference, SURVEY §3.3).
+
+    Returns top_states/top_probs (full-H binary vectors over the truncated
+    union), s_mean, the posterior-mean reconstruction E[ybar], and F.
+    """
+    f32 = jnp.float32
+    N, D = y.shape
+    H = W.shape[1]
+    S = sa.states.shape[0]
+    beta = jnp.asarray(beta, f32)
+    prior_beta = jnp.asarray(prior_beta, f32)
+    gram_diag = jnp.sum(W * W, axis=0)
+    inv2s2 = 0.5 / sigma2
+
+    P = jnp.dot(y, W, preferred_element_type=f32)
+    w_norm = jnp.sqrt(jnp.maximum(gram_diag, 1e-30))
+    cand = top_hprime_candidates(P, w_norm, Hp, magnitude)
+    Wc = jnp.take(W.T, cand, axis=0)
+
+    act = sa.states > 0.5
+    neg_inf = jnp.float32(-3e38)
+    ybar = jnp.full((N, S, D), neg_inf)
+    key_val = jnp.full((N, S, D), neg_inf)
+    for h in range(Hp):
+        vh = Wc[:, h, :][:, None, :]
+        kh = jnp.abs(vh) if magnitude else vh
+        kh = jnp.where(act[None, :, h, None], kh, neg_inf)
+        better = kh > key_val
+        key_val = jnp.where(better, kh, key_val)
+        ybar = jnp.where(better, vh, ybar)
+
+    y_dot = jnp.einsum("nd,nsd->ns", y, ybar)
+    ybar2 = jnp.sum(ybar * ybar, axis=2)
+    lik_multi = (2.0 * y_dot - ybar2) * inv2s2
+    prior_multi = sa.abs_states * log_odds_scalar
+    lik_single = (2.0 * P - gram_diag[None, :]) * inv2s2
+    logits = jnp.concatenate(
+        [jnp.zeros((N, 1), f32),
+         beta * lik_single + prior_beta * log_odds_scalar,
+         beta * lik_multi + prior_beta * prior_multi[None, :]], 1)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.exp(logits - m)
+    Z = jnp.sum(p, axis=1, keepdims=True)
+    q = p / Z
+
+    y2 = jnp.sum(y * y, axis=1)
+    log_p0 = -jnp.log1p(jnp.exp(log_odds_scalar))
+    F = ((m + jnp.log(Z))[:, 0] - beta * (y2 * inv2s2)
+         - beta * 0.5 * D * jnp.log(2.0 * jnp.pi * sigma2)
+         + prior_beta * H * log_p0)
+
+    q_single = q[:, 1:1 + H]
+    q_multi = q[:, 1 + H:]
+    s_cand = jnp.dot(q_multi, sa.states, preferred_element_type=f32)
+    rows = jnp.arange(N, dtype=jnp.int32)[:, None] * H
+    s_mean = (q_single.reshape(-1)
+              .at[(rows + cand).reshape(-1)].add(s_cand.reshape(-1))
+              .reshape(N, H))
+    recon = (jnp.dot(q_single, W.T, preferred_element_type=f32)
+             + jnp.einsum("ns,nsd->nd", q_multi,
+                          jnp.where(ybar > neg_inf / 2, ybar, 0.0)))
+
+    top_q, top_u = jax.lax.top_k(q, top_L)
+    u = top_u - 1
+    is_single = (u >= 0) & (u < H)
+    single_vec = jax.nn.one_hot(jnp.where(is_single, u, 0), H,
+                                dtype=f32) * is_single[..., None]
+    s_idx = jnp.clip(u - H, 0, S - 1)
+    is_multi = u >= H
+    multi_cand_vals = sa.states[s_idx]
+    NL = N * top_L
+    flat_rows = jnp.repeat(jnp.arange(N, dtype=jnp.int32), top_L)
+    base = (jnp.arange(NL, dtype=jnp.int32)[:, None] * H + cand[flat_rows])
+    multi_vec = (jnp.zeros((NL * H,), f32)
+                 .at[base.reshape(-1)]
+                 .add((multi_cand_vals * is_multi[..., None])
+                      .reshape(NL, Hp).reshape(-1))
+                 .reshape(N, top_L, H))
+    return {"top_states": single_vec + multi_vec, "top_probs": top_q,
+            "s_mean": s_mean, "recon": recon, "F": F}
+
+
 def max_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
                  sigma2, log_odds_scalar, sa: LinearStateArrays, Hp: int,
                  magnitude: bool, beta, prior_beta,

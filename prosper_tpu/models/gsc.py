@@ -128,6 +128,20 @@ class GSC(ETModel):
         }
         return new, F, scalars
 
+    def inference(self, params, data, top_L: int = 10, anneal=None):
+        """Posterior decode (reference: CAModel.inference)."""
+        from prosper_tpu.core.gscstep import gsc_posterior
+        from prosper_tpu.models.base import sched_from_anneal
+        sched = sched_from_anneal(anneal) if anneal is not None else None
+        beta = sched["beta"] if sched else jnp.float32(1.0)
+        prior_beta = sched["prior_beta"] if sched else jnp.float32(1.0)
+        y = jnp.asarray(data["y"], jnp.float32)
+        return jax.jit(
+            lambda y_, p: gsc_posterior(
+                y_, p["W"], p["sigma"] ** 2, p["pi"], p["mu"], p["psi"],
+                self.sa, self.Hprime, top_L, beta, prior_beta)
+        )(y, params)
+
     # -- generation -----------------------------------------------------------
 
     def sample_latents(self, params, N, rng):

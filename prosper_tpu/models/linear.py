@@ -84,7 +84,8 @@ class LinearETModel(ETModel):
 
     # -- the fused EM step ----------------------------------------------------
 
-    def step_fn(self, params, data, sched, rng, axis_name: Optional[str] = None):
+    def step_fn(self, params, data, sched, rng, axis_name: Optional[str] = None,
+                state_axis: Optional[str] = None, n_state_shards: int = 1):
         y = data["y"]
         valid = data["valid"]
         N = y.shape[0]
@@ -112,12 +113,16 @@ class LinearETModel(ETModel):
         weight = pmask * ncut_mask
 
         # E-step (hot loop) + global reduction of sufficient statistics
+        # (over the data axis AND, when state sharding is on, the state axis)
         sigma2 = params["sigma"] ** 2
         F, sums = linear_et_estep(
             y, weight, params["W"], sigma2, self.log_odds(params), self.sa,
             self.Hprime, self.signed_select, sched["beta"], sched["prior_beta"],
-            self.chunk)
+            self.chunk, state_axis=state_axis, n_state_shards=n_state_shards)
         sums = jax.tree_util.tree_map(lambda a: maybe_psum(a, axis_name), sums)
+        if state_axis is not None and n_state_shards > 1:
+            sums = jax.tree_util.tree_map(
+                lambda a: jax.lax.psum(a, state_axis), sums)
 
         new_params = self.m_step(params, sums, logA, logB)
 

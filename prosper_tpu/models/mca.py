@@ -143,6 +143,21 @@ class MCA(ETModel):
         return ybar
 
 
+    def inference(self, params, data, top_L: int = 10, anneal=None):
+        """Posterior decode (reference: CAModel.inference)."""
+        from prosper_tpu.core.maxstep import max_et_posterior
+        from prosper_tpu.models.base import sched_from_anneal
+        sched = sched_from_anneal(anneal) if anneal is not None else None
+        beta = sched["beta"] if sched else jnp.float32(1.0)
+        prior_beta = sched["prior_beta"] if sched else jnp.float32(1.0)
+        y = jnp.asarray(data["y"], jnp.float32)
+        return jax.jit(
+            lambda y_, p: max_et_posterior(
+                y_, p["W"], p["sigma"] ** 2, self._log_odds(p), self.sa,
+                self.Hprime, self.magnitude, top_L, beta, prior_beta)
+        )(y, params)
+
+
 class MMCA(MCA):
     """Max-magnitude causes: the winning cause has the largest |W_dh|
     (signed version of MCA for zero-mean data — SURVEY.md §2 "MMCA-ET")."""

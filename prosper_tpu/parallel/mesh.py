@@ -119,7 +119,8 @@ class MeshRuntime:
 
     def shard_step(self, step_fn):
         """Wrap ``step_fn(params, data, sched, rng) -> (params, F, scalars)``
-        in shard_map over the data axis and jit it.
+        in shard_map over the data axis (plus the state axis when the mesh
+        has one) and jit it.
 
         * params, sched, rng: replicated
         * data (and the returned per-datapoint F): sharded on the leading axis
@@ -127,9 +128,19 @@ class MeshRuntime:
           psums suff stats over ``axis_name`` so all shards compute the
           identical closed-form update (SPMD determinism, mirroring the
           reference's allreduce + replicated M-step).
+
+        With a ('data','state') mesh (axis_names=('data','state') and
+        state size > 1), the enumerated-state dimension of supporting models
+        is additionally sharded over 'state' — SURVEY.md §5.7's
+        sequence-parallel analogue (ring-attention-style online-logsumexp
+        combine over ICI).
         """
         axis = self.data_axis
-        fn = partial(step_fn, axis_name=axis)
+        kw = {"axis_name": axis}
+        if "state" in self.axis_names and self.mesh.shape["state"] > 1:
+            kw["state_axis"] = "state"
+            kw["n_state_shards"] = self.mesh.shape["state"]
+        fn = partial(step_fn, **kw)
         in_specs = (P(), P(axis), P(), P())
         out_specs = (P(), P(axis), P())
         mapped = jax.shard_map(

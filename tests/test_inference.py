@@ -60,3 +60,39 @@ def test_inference_tsc_signed():
     best = np.asarray(out["top_states"][:, 0, :])
     match = (best[ok] == s_true[ok]).all(axis=1).mean()
     assert match > 0.85, f"ternary MAP decode accuracy {match:.2f}"
+
+
+def test_inference_mca_decodes():
+    from prosper_tpu.models.mca import MCA
+    R = 4
+    model = MCA(R * R, 2 * R, 5, 3)
+    gt = bars_gt_params(model, intensity=10.0, sigma=0.5, pi=0.15)
+    data = model.generate_data(gt, 150, seed=9)
+    out = model.inference(gt, data, top_L=5)
+    s_true = np.asarray(data["s"])
+    ok = s_true.sum(axis=1) <= model.gamma
+    best = np.asarray(out["top_states"][:, 0, :])
+    match = (best[ok] == s_true[ok]).all(axis=1).mean()
+    assert match > 0.85, f"MCA MAP decode accuracy {match:.2f}"
+    assert out["recon"].shape == (150, model.D)
+
+
+def test_inference_gsc_support_recovery():
+    from prosper_tpu.models.gsc import GSC
+    R = 4
+    model = GSC(R * R, 2 * R, 5, 3)
+    gt = bars_gt_params(model, intensity=5.0, sigma=0.3, pi=0.15)
+    gt["mu"] = np.float32(1.0)
+    gt["psi"] = np.float32(0.04)
+    data = model.generate_data(gt, 150, seed=10)
+    out = model.inference(gt, data, top_L=5)
+    s_true = np.asarray(data["s"])
+    supp_true = (np.abs(s_true) > 1e-9).astype(np.float32)
+    ok = supp_true.sum(axis=1) <= model.gamma
+    best = np.asarray(out["top_states"][:, 0, :])
+    match = (best[ok] == supp_true[ok]).all(axis=1).mean()
+    assert match > 0.8, f"GSC MAP support accuracy {match:.2f}"
+    # slab mean recovers the generating amplitudes where active
+    sz = np.asarray(out["s_mean"])
+    err = np.abs(sz[ok] - s_true[ok]).max(axis=1)
+    assert np.median(err) < 0.5

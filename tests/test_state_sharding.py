@@ -1,0 +1,56 @@
+"""Enumerated-state-axis sharding (sequence-parallel analogue, SURVEY §5.7).
+
+A ('data','state') mesh splits the multi-state enumeration across devices;
+the softmax over the truncated union is combined with online-logsumexp
+collectives.  Results must match the single-device step exactly (up to f32
+reduction order).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from prosper_tpu.data.bars import bars_gt_params
+from prosper_tpu.engine.anneal import LinearAnnealing
+from prosper_tpu.engine.em import EM
+from prosper_tpu.models.linear import BSC, TSC
+from prosper_tpu.parallel.mesh import MeshRuntime
+
+
+@pytest.mark.parametrize("cls,seed", [(BSC, 2), (TSC, 3)])
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (1, 8)])
+def test_data_x_state_mesh_equivalence(cls, seed, mesh_shape):
+    R = 4
+    D, H, Hp, gamma, N = R * R, 2 * R, 6, 4, 256
+    model = cls(D, H, Hp, gamma, chunk=N)
+    gt = bars_gt_params(model, intensity=10.0, sigma=1.0)
+    data = model.generate_data(gt, N, seed=seed)
+
+    em1 = EM(model, LinearAnnealing(4), {"y": data["y"]}, seed=7)
+    p1 = em1.run()
+
+    rt = MeshRuntime(mesh_shape=mesh_shape, axis_names=("data", "state"))
+    em2 = EM(model, LinearAnnealing(4), {"y": data["y"]}, seed=7, runtime=rt)
+    p2 = em2.run()
+
+    np.testing.assert_allclose(np.asarray(p1["W"]), np.asarray(p2["W"]),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(float(p1["sigma"]), float(p2["sigma"]),
+                               rtol=1e-3)
+    F1 = [h["Q_mean"] for h in em1.history]
+    F2 = [h["Q_mean"] for h in em2.history]
+    np.testing.assert_allclose(F1, F2, rtol=2e-3, atol=2e-3)
+
+
+def test_state_shard_count_not_dividing_S():
+    """S=62 states over 8 shards (not divisible): padding must be exact."""
+    model = BSC(16, 8, 6, 4, chunk=128)   # S = C(6,2)+C(6,3)+C(6,4) = 50
+    gt = bars_gt_params(model, intensity=10.0, sigma=1.0)
+    data = model.generate_data(gt, 128, seed=5)
+    em1 = EM(model, LinearAnnealing(3), {"y": data["y"]}, seed=1)
+    p1 = em1.run()
+    rt = MeshRuntime(mesh_shape=(1, 8), axis_names=("data", "state"))
+    em2 = EM(model, LinearAnnealing(3), {"y": data["y"]}, seed=1, runtime=rt)
+    p2 = em2.run()
+    np.testing.assert_allclose(np.asarray(p1["W"]), np.asarray(p2["W"]),
+                               rtol=2e-3, atol=2e-3)
