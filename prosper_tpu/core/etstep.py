@@ -65,7 +65,8 @@ def state_arrays_from(space) -> LinearStateArrays:
 
 def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArrays,
                   Hp: int, signed_select: bool, beta, prior_beta,
-                  state_axis=None, n_state_shards: int = 1):
+                  state_axis=None, n_state_shards: int = 1,
+                  dense_gather: bool = True):
     """E-statistics for one chunk of datapoints.
 
     y : (C, D), w : (C,) accumulation weights (Ncut/partial/padding mask).
@@ -92,10 +93,23 @@ def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArr
     inv2s2 = 0.5 / sigma2
     P = jnp.dot(y, W, preferred_element_type=f32)                      # (C, H)
     w_norm = jnp.sqrt(jnp.maximum(gram_diag, 1e-30))
-    cand = top_hprime_candidates(P, w_norm, Hp, signed_select)          # (C, Hp)
 
-    proj = jnp.take_along_axis(P, cand, axis=1)                         # (C, Hp)
-    G = gram[cand[:, :, None], cand[:, None, :]]                        # (C, Hp, Hp)
+    if dense_gather:
+        # TPU fast path: index gathers/scatters lower to pathologically slow
+        # HLO on TPU (profiled ~50x the GEMM cost), so candidate selection
+        # produces a one-hot matrix and every gather becomes an MXU matmul.
+        from prosper_tpu.core.select import top_hprime_candidates_dense
+        cand, onehot = top_hprime_candidates_dense(P, w_norm, Hp,
+                                                   signed_select)
+        proj = jnp.einsum("nah,nh->na", onehot, P)                      # (C, Hp)
+        T = jnp.dot(onehot.reshape(C * Hp, H), gram,
+                    preferred_element_type=f32).reshape(C, Hp, H)
+        G = jnp.einsum("nak,nbk->nab", T, onehot)                       # (C,Hp,Hp)
+    else:
+        cand = top_hprime_candidates(P, w_norm, Hp, signed_select)      # (C, Hp)
+        onehot = None
+        proj = jnp.take_along_axis(P, cand, axis=1)                     # (C, Hp)
+        G = gram[cand[:, :, None], cand[:, None, :]]                    # (C,Hp,Hp)
     Gf = G.reshape(C, Hp * Hp)
 
     # ---- local slice of the enumerated states -------------------------------
@@ -184,22 +198,29 @@ def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArr
     s_cand = jnp.dot(q_multi, states, preferred_element_type=f32)        # (C, Hp)
     ss_cand = jnp.dot(q_multi, outer, preferred_element_type=f32)        # (C, Hp^2)
 
-    # flat 1-D scatters (XLA lowers these far better than broadcasting-index
-    # scatters, which showed pathological compile times on some backends)
-    row_base = jnp.arange(C, dtype=jnp.int32)[:, None] * H
-    s_flat_idx = (row_base + cand).reshape(-1)
-    s_full = (s_single.reshape(-1).at[s_flat_idx].add(s_cand.reshape(-1))
-              .reshape(C, H))                                            # (C, H)
-
     wv = w.astype(f32)
+    if dense_gather:
+        # scatters -> GEMMs against the candidate one-hot matrix
+        s_full = s_single + jnp.einsum("na,nah->nh", s_cand, onehot)     # (C, H)
+        ss3w = ss_cand.reshape(C, Hp, Hp) * wv[:, None, None]
+        T2 = jnp.einsum("nab,nbh->nah", ss3w, onehot)                    # (C,Hp,H)
+        sum_ss = jnp.einsum("nah,nak->hk", onehot, T2)                   # (H, H)
+    else:
+        # flat 1-D scatters (far better than broadcasting-index scatters,
+        # which showed pathological compile times on some backends)
+        row_base = jnp.arange(C, dtype=jnp.int32)[:, None] * H
+        s_flat_idx = (row_base + cand).reshape(-1)
+        s_full = (s_single.reshape(-1).at[s_flat_idx].add(s_cand.reshape(-1))
+                  .reshape(C, H))                                        # (C, H)
+        ss_flat_idx = (cand[:, :, None] * H + cand[:, None, :]).reshape(-1)
+        ss3 = (ss_cand.reshape(C, Hp, Hp) * wv[:, None, None]).reshape(-1)
+        sum_ss = (jnp.zeros((H * H,), f32).at[ss_flat_idx].add(ss3)
+                  .reshape(H, H))
+
     sw = s_full * wv[:, None]
     sum_xs = jnp.dot(y.T, sw, preferred_element_type=f32)                # (D, H)
     sum_s = jnp.sum(sw, axis=0)                                          # (H,)
     sum_ss_diag = jnp.sum(ss_diag_single * wv[:, None], axis=0)          # (H,)
-
-    ss_flat_idx = (cand[:, :, None] * H + cand[:, None, :]).reshape(-1)
-    ss3 = (ss_cand.reshape(C, Hp, Hp) * wv[:, None, None]).reshape(-1)
-    sum_ss = jnp.zeros((H * H,), f32).at[ss_flat_idx].add(ss3).reshape(H, H)
     sum_ss = sum_ss + jnp.diag(sum_ss_diag)                              # (H, H)
 
     abs_n = (jnp.sum(q_single, axis=(1, 2))
@@ -239,10 +260,15 @@ def linear_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
     gram = jnp.dot(W.T, W, preferred_element_type=jnp.float32)           # (H, H)
     gram_diag = jnp.diagonal(gram)
 
+    # one-hot GEMM gathers are the TPU fast path; fall back to index
+    # gathers/scatters only when the (chunk, Hp, H) one-hot would be huge
+    dense = (min(N, chunk) * Hp * H * 4) <= 512 * 1024 * 1024
+
     body = partial(_chunk_estats, W=W, gram=gram, gram_diag=gram_diag,
                    sigma2=sigma2, log_odds=log_odds, sa=sa, Hp=Hp,
                    signed_select=signed_select, beta=beta, prior_beta=prior_beta,
-                   state_axis=state_axis, n_state_shards=n_state_shards)
+                   state_axis=state_axis, n_state_shards=n_state_shards,
+                   dense_gather=dense)
 
     if N <= chunk:
         return body(y, weight)

@@ -129,9 +129,12 @@ def _chunk_gsc_estats(y, w, W, gram, gram_diag, sigma2, pi, mu, psi,
 
     P = jnp.dot(y, W, preferred_element_type=f32)                       # (C,H)
     w_norm = jnp.sqrt(jnp.maximum(gram_diag, 1e-30))
-    cand = top_hprime_candidates(P, w_norm, Hp, signed=True)            # (C,Hp)
-    proj = jnp.take_along_axis(P, cand, axis=1)                         # (C,Hp)
-    G = gram[cand[:, :, None], cand[:, None, :]]                        # (C,Hp,Hp)
+    from prosper_tpu.core.select import top_hprime_candidates_dense
+    cand, onehot = top_hprime_candidates_dense(P, w_norm, Hp, signed=True)
+    proj = jnp.einsum("nah,nh->na", onehot, P)                          # (C,Hp)
+    T = jnp.dot(onehot.reshape(C * Hp, H), gram,
+                preferred_element_type=f32).reshape(C, Hp, H)
+    G = jnp.einsum("nak,nbk->nab", T, onehot)                           # (C,Hp,Hp)
 
     act = (sa.states > 0.5).astype(f32)                                 # (S,Hp)
     k_s = sa.abs_states                                                 # (S,)
@@ -201,19 +204,17 @@ def _chunk_gsc_estats(y, w, W, gram, gram_diag, sigma2, pi, mu, psi,
     Sig1 = 1.0 / M1                                                     # (H,)
     szsz_diag_single = q_single * (Sig1[None, :] + kappa1 ** 2)         # (C,H)
 
-    row_base = jnp.arange(C, dtype=jnp.int32)[:, None] * H
-    s_flat = (row_base + cand).reshape(-1)
-    sz_full = (sz_single.reshape(-1).at[s_flat].add(sz_cand.reshape(-1))
-               .reshape(C, H))
+    # scatters -> one-hot GEMMs (TPU fast path; see core/select.py)
+    sz_full = sz_single + jnp.einsum("na,nah->nh", sz_cand, onehot)
 
     sw = sz_full * wv[:, None]
     sum_xs = jnp.dot(y.T, sw, preferred_element_type=f32)               # (D,H)
     sum_s = jnp.sum(sw, axis=0)                                         # (H,)
     sum_ss_diag = jnp.sum(szsz_diag_single * wv[:, None], axis=0)       # (H,)
 
-    ss_flat = (cand[:, :, None] * H + cand[:, None, :]).reshape(-1)
-    ss_vals = (szsz_cand * wv[:, None, None]).reshape(-1)
-    sum_ss = jnp.zeros((H * H,), f32).at[ss_flat].add(ss_vals).reshape(H, H)
+    ssw = szsz_cand * wv[:, None, None]
+    T2 = jnp.einsum("nab,nbh->nah", ssw, onehot)                        # (C,Hp,H)
+    sum_ss = jnp.einsum("nah,nak->hk", onehot, T2)                      # (H,H)
     sum_ss = sum_ss + jnp.diag(sum_ss_diag)
 
     abs_n = jnp.sum(q_single, axis=1) + jnp.dot(

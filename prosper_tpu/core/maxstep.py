@@ -46,9 +46,10 @@ def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
 
     P = jnp.dot(y, W, preferred_element_type=f32)                       # (C,H)
     w_norm = jnp.sqrt(jnp.maximum(gram_diag, 1e-30))
-    cand = top_hprime_candidates(P, w_norm, Hp, magnitude)              # (C,Hp)
-
-    Wc = jnp.take(W.T, cand, axis=0)                                    # (C,Hp,D)
+    from prosper_tpu.core.select import top_hprime_candidates_dense
+    cand, onehot = top_hprime_candidates_dense(P, w_norm, Hp, magnitude)
+    Wc = jnp.dot(onehot.reshape(C * Hp, H), W.T,
+                 preferred_element_type=f32).reshape(C, Hp, D)           # (C,Hp,D)
 
     # ---- reconstruction per multi state: winner-take-all over active slots
     act = sa.states > 0.5                                               # (S,Hp) bool
@@ -103,10 +104,7 @@ def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
 
     # ---- <s> and activity
     s_cand = jnp.dot(q_multi, sa.states, preferred_element_type=f32)    # (C,Hp)
-    row_base = jnp.arange(C, dtype=jnp.int32)[:, None] * H
-    s_flat = (row_base + cand).reshape(-1)
-    s_full = (q_single.reshape(-1).at[s_flat].add(s_cand.reshape(-1))
-              .reshape(C, H))
+    s_full = q_single + jnp.einsum("na,nah->nh", s_cand, onehot)
     sum_s = jnp.sum(s_full * wv[:, None], axis=0)
     abs_n = jnp.sum(q_single, axis=1) + jnp.dot(
         q_multi, sa.abs_states, preferred_element_type=f32)
@@ -121,13 +119,9 @@ def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
         accA.append(jnp.einsum("ns,nsd->nd", qa, mask_h.astype(f32)))
     accA = jnp.stack(accA, axis=1)                                      # (C,Hp,D)
 
-    # scatter (C,Hp,D) -> (H,D), plus singleton/global contributions
-    d_iota = jnp.arange(D, dtype=jnp.int32)[None, None, :]
-    flat_hd = (cand[:, :, None] * D + d_iota).reshape(-1)
-    denom = jnp.zeros((H * D,), f32).at[flat_hd].add(accA.reshape(-1))
-    denom = denom.reshape(H, D)
-    numer = jnp.zeros((H * D,), f32).at[flat_hd].add(
-        (accA * y[:, None, :]).reshape(-1)).reshape(H, D)
+    # (C,Hp,D) -> (H,D) via one-hot GEMMs, plus singleton contributions
+    denom = jnp.einsum("nah,nad->hd", onehot, accA)                     # (H,D)
+    numer = jnp.einsum("nah,nad->hd", onehot, accA * y[:, None, :])
     qsw = q_single * wv[:, None]
     denom = denom + jnp.sum(qsw, axis=0)[:, None]                       # (H,D)
     numer = numer + jnp.dot(qsw.T, y, preferred_element_type=f32)       # (H,D)

@@ -38,11 +38,41 @@ def top_hprime_candidates(P_full: jnp.ndarray, w_norm: jnp.ndarray, Hp: int,
 
     Returns (N, Hp) int32 candidate indices (descending score; ties by index).
     """
+    cand, _ = top_hprime_candidates_dense(P_full, w_norm, Hp, signed)
+    return cand
+
+
+def top_hprime_candidates_dense(P_full: jnp.ndarray, w_norm: jnp.ndarray,
+                                Hp: int, signed: bool):
+    """Top-H' candidates plus their one-hot selection matrix.
+
+    TPU-first: ``lax.top_k`` and index gathers/scatters lower poorly on TPU
+    (profiled at >100x the cost of the E-step GEMMs), so selection is Hp
+    iterated argmaxes — pure vector ops — and the one-hot matrix
+    ``onehot (N, Hp, H)`` is built from the same comparisons.  Every
+    downstream gather (candidate projections, Gram blocks) and scatter
+    (sufficient statistics) then becomes an MXU matmul against ``onehot``.
+
+    Tie behaviour matches lax.top_k (descending score, lowest index first).
+    Returns (cand (N,Hp) int32, onehot (N,Hp,H) float32).
+    """
+    N, H = P_full.shape
     score = P_full / jnp.maximum(w_norm, 1e-12)[None, :]
     if signed:
         score = jnp.abs(score)
-    _, idx = jax.lax.top_k(score, Hp)
-    return idx.astype(jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (N, H), 1)
+    cands = []
+    hots = []
+    s = score
+    for _ in range(Hp):
+        i = jnp.argmax(s, axis=1).astype(jnp.int32)                  # (N,)
+        hit = iota == i[:, None]                                     # (N,H)
+        cands.append(i)
+        hots.append(hit)
+        s = jnp.where(hit, -jnp.inf, s)
+    cand = jnp.stack(cands, axis=1)                                  # (N,Hp)
+    onehot = jnp.stack(hots, axis=1).astype(jnp.float32)             # (N,Hp,H)
+    return cand, onehot
 
 
 def exact_count_mask(rng: jax.Array, N: int, frac) -> jnp.ndarray:

@@ -106,6 +106,48 @@ class ETModel:
     def _extra_init(self, y: np.ndarray, rng) -> Dict:
         return {}
 
+    # -- shared ET data-selection masks ---------------------------------------
+
+    def et_weight_mask(self, log_pi_active, data, sched, rng_partial,
+                       axis_name):
+        """Combined partial-subsampling + Ncut mask (static shapes).
+
+        Reference behavior: CAModel.select_partial_data + the ET data cut
+        (SURVEY.md §2 "ET base").  The expensive pieces (a full sort for the
+        exact-count random mask; the psum'd histogram quantile) are skipped
+        via lax.cond whenever the schedule disables them — predicates are
+        replicated scalars so the branch is uniform across the mesh.
+
+        Returns (weight (N,), logA, logB, N_total).
+        """
+        from prosper_tpu.core.etstep import truncated_prior_logmass
+        from prosper_tpu.core.select import (
+            exact_count_mask, global_quantile_threshold, ncut_keep_count)
+        from prosper_tpu.parallel.mesh import maybe_psum
+
+        valid = data["valid"]
+        N = valid.shape[0]
+        if axis_name is not None:
+            rng_partial = jax.random.fold_in(
+                rng_partial, jax.lax.axis_index(axis_name))
+        pmask = jax.lax.cond(
+            sched["partial"] >= 1.0,
+            lambda: valid,
+            lambda: exact_count_mask(rng_partial, N, sched["partial"]) * valid)
+
+        logA, logB = truncated_prior_logmass(log_pi_active, self.H, self.gamma)
+        N_total = maybe_psum(jnp.sum(valid), axis_name)
+
+        def with_ncut():
+            keep = ncut_keep_count(N_total, sched["Ncut_factor"], logA)
+            thresh = global_quantile_threshold(data["F_prev"], pmask, keep,
+                                               axis_name)
+            return pmask * (data["F_prev"] >= thresh).astype(jnp.float32)
+
+        weight = jax.lax.cond(sched["Ncut_factor"] > 0, with_ncut,
+                              lambda: pmask)
+        return weight, logA, logB, N_total
+
     # -- driver plumbing ------------------------------------------------------
 
     def jit_step(self):

@@ -31,12 +31,6 @@ from prosper_tpu.core.etstep import (
     LinearStateArrays,
     linear_et_estep,
     state_arrays_from,
-    truncated_prior_logmass,
-)
-from prosper_tpu.core.select import (
-    exact_count_mask,
-    global_quantile_threshold,
-    ncut_keep_count,
 )
 from prosper_tpu.models.base import ETModel
 from prosper_tpu.parallel.mesh import maybe_psum
@@ -93,24 +87,10 @@ class LinearETModel(ETModel):
         rng_noise, rng_partial = jax.random.split(rng)
         params = self.noisify(params, sched, rng_noise)
 
-        # random partial-data mask (per-shard independent randomness)
-        if axis_name is not None:
-            rng_partial = jax.random.fold_in(
-                rng_partial, jax.lax.axis_index(axis_name))
-        pmask = exact_count_mask(rng_partial, N, sched["partial"]) * valid
-
-        # ET data cut: keep the globally best-explained datapoints by the
-        # previous iteration's F (one-pass design; see models/base.py docs)
-        logA, logB = truncated_prior_logmass(
-            self.log_pi_active(params), self.H, self.gamma)
-        N_total = maybe_psum(jnp.sum(valid), axis_name)
-        keep = ncut_keep_count(N_total, sched["Ncut_factor"], logA)
-        thresh = global_quantile_threshold(
-            data["F_prev"], pmask, keep, axis_name)
-        ncut_mask = jnp.where(sched["Ncut_factor"] > 0,
-                              (data["F_prev"] >= thresh).astype(jnp.float32),
-                              1.0)
-        weight = pmask * ncut_mask
+        # partial-subsampling + ET Ncut cut (previous iteration's F ranks
+        # datapoints — one-pass design; see models/base.py docs)
+        weight, logA, logB, N_total = self.et_weight_mask(
+            self.log_pi_active(params), data, sched, rng_partial, axis_name)
 
         # E-step (hot loop) + global reduction of sufficient statistics
         # (over the data axis AND, when state sharding is on, the state axis)

@@ -21,16 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from prosper_tpu.core import states as states_mod
-from prosper_tpu.core.etstep import (
-    state_arrays_from,
-    truncated_prior_logmass,
-)
+from prosper_tpu.core.etstep import state_arrays_from
 from prosper_tpu.core.maxstep import max_et_estep
-from prosper_tpu.core.select import (
-    exact_count_mask,
-    global_quantile_threshold,
-    ncut_keep_count,
-)
 from prosper_tpu.models.base import ETModel
 from prosper_tpu.parallel.mesh import maybe_psum
 
@@ -75,21 +67,8 @@ class MCA(ETModel):
         rng_noise, rng_partial = jax.random.split(rng)
         params = self.noisify(params, sched, rng_noise)
 
-        if axis_name is not None:
-            rng_partial = jax.random.fold_in(
-                rng_partial, jax.lax.axis_index(axis_name))
-        pmask = exact_count_mask(rng_partial, N, sched["partial"]) * valid
-
-        logA, logB = truncated_prior_logmass(
-            jnp.log(params["pi"]), self.H, self.gamma)
-        N_total = maybe_psum(jnp.sum(valid), axis_name)
-        keep = ncut_keep_count(N_total, sched["Ncut_factor"], logA)
-        thresh = global_quantile_threshold(data["F_prev"], pmask, keep,
-                                           axis_name)
-        ncut_mask = jnp.where(sched["Ncut_factor"] > 0,
-                              (data["F_prev"] >= thresh).astype(jnp.float32),
-                              1.0)
-        weight = pmask * ncut_mask
+        weight, logA, logB, N_total = self.et_weight_mask(
+            jnp.log(params["pi"]), data, sched, rng_partial, axis_name)
 
         sigma2 = params["sigma"] ** 2
         F, sums = max_et_estep(

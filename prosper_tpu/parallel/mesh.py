@@ -70,6 +70,43 @@ def stride_data(N: int, parts: Optional[int] = None, index: Optional[int] = None
     return first, last
 
 
+def init_multihost(coordinator_address: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> None:
+    """Initialise JAX multi-host (the ``mpirun -n P`` analogue).
+
+    Thin wrapper over ``jax.distributed.initialize`` — on cloud TPU pods
+    all arguments are auto-detected; on other clusters pass them
+    explicitly.  Call before constructing a MeshRuntime.  Safe to call in
+    single-process runs (no-ops if already initialised or nothing to do).
+    """
+    if jax.process_count() > 1:
+        return
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (ValueError, RuntimeError):
+        # single-process / no coordinator configured: run locally
+        pass
+
+
+def replication_error(tree, axis_name: str):
+    """Max absolute divergence of a pytree across the shards of a mesh axis
+    (use inside shard_map).  The reference relies on MPI SPMD determinism
+    for parameter replication (SURVEY.md §5.2); this turns the property into
+    a measurable invariant: return it from the step in debug runs and assert
+    ``== 0`` (or tiny) host-side.
+    """
+    n = jax.lax.psum(1, axis_name)
+    errs = []
+    for x in jax.tree_util.tree_leaves(tree):
+        x = jnp.asarray(x, jnp.float32)
+        mean = jax.lax.psum(x, axis_name) / n
+        errs.append(jnp.max(jnp.abs(x - mean)))
+    return jnp.max(jnp.stack(errs)) if errs else jnp.float32(0.0)
+
+
 # ---------------------------------------------------------------------------
 # Mesh runtime
 # ---------------------------------------------------------------------------
