@@ -114,8 +114,19 @@ def cmd_train(args) -> int:
         out_dir = create_output_path(os.path.basename(args.config))
     os.makedirs(out_dir, exist_ok=True)
 
+    # failure recovery (SURVEY.md §5.3/5.4): deterministic restart from the
+    # last checkpoint written in the output dir
+    params = None
+    ckpt_path = os.path.join(out_dir, "checkpoint.h5")
+    if args.resume and os.path.exists(ckpt_path):
+        from prosper_tpu.io import checkpoint
+        params, step, _ = checkpoint.restore(ckpt_path)
+        anneal.reset(min(step, anneal.steps))
+        print(f"[train] resuming from {ckpt_path} at step {step}")
+
     dlog = DataLog()
-    dlog.set_handler(None, StoreToH5, os.path.join(out_dir, "result.h5"))
+    mode = "a" if (args.resume and params is not None) else "w"
+    dlog.set_handler(None, StoreToH5, os.path.join(out_dir, "result.h5"), mode)
     dlog.set_handler(None, StoreToJSONL, os.path.join(out_dir, "metrics.jsonl"))
 
     runtime = None
@@ -130,14 +141,16 @@ def cmd_train(args) -> int:
         c = model.chunk if per_shard > model.chunk else 1
         data = pad_for_mesh(y, runtime.n_data_shards, c)
 
-    em = EM(model, anneal, data, seed=int(cfg.get("seed", 42)),
-            runtime=runtime, dlog=dlog,
+    em = EM(model, anneal, data, params=params,
+            seed=int(cfg.get("seed", 42)), runtime=runtime, dlog=dlog,
             log_params_every=int(cfg.get("log_params_every", 1)))
-    params = em.run(verbose=not args.quiet)
+    if args.scan:
+        params = em.run_scanned()
+    else:
+        params = em.run(verbose=not args.quiet)
 
     from prosper_tpu.io import checkpoint
-    checkpoint.save(os.path.join(out_dir, "checkpoint.h5"), params,
-                    step=anneal.position)
+    checkpoint.save(ckpt_path, params, step=anneal.position)
     dlog.close()
     pprint(f"[train] done -> {out_dir}")
     return 0
@@ -190,6 +203,10 @@ def main(argv=None) -> int:
     pt.add_argument("--data", default=None, help="HDF5 dataset overriding config")
     pt.add_argument("--mesh", default=None, help="e.g. data=8")
     pt.add_argument("--quiet", "-q", action="store_true")
+    pt.add_argument("--resume", action="store_true",
+                    help="restart from <output>/checkpoint.h5 if present")
+    pt.add_argument("--scan", action="store_true",
+                    help="run all iterations inside one jit (lax.scan)")
     pt.set_defaults(fn=cmd_train)
 
     pi = sub.add_parser("infer", help="posterior decode with trained params")

@@ -74,6 +74,67 @@ class EM:
             self.step_once(verbose=verbose)
         return self.params
 
+    def run_scanned(self, n_steps: Optional[int] = None) -> Dict:
+        """Run k EM iterations inside ONE jit via lax.scan.
+
+        The BASELINE.json north star calls for "the EM driver becomes a
+        jit-compiled scan": annealing values become per-iteration arrays
+        scanned over on device, removing all host dispatch between
+        iterations.  Per-iteration scalars are returned stacked and appended
+        to history/dlog afterwards; full parameter snapshots are only
+        available for the final state (use the Python-loop ``run`` when the
+        per-iteration W history matters).
+        """
+        import jax.numpy as jnp
+        from prosper_tpu.models.base import sched_from_anneal
+
+        remaining = self.anneal.steps - self.anneal.position
+        k = remaining if n_steps is None else min(n_steps, remaining)
+        if k <= 0:
+            return self.params
+
+        # per-iteration schedule arrays (host-computed, tiny)
+        scheds = []
+        probe = self.anneal.position
+        for j in range(k):
+            self.anneal.position = probe + j
+            scheds.append(sched_from_anneal(self.anneal))
+        self.anneal.position = probe
+        sched_arr = {key: jnp.stack([s[key] for s in scheds])
+                     for key in scheds[0]}
+
+        step = self._step
+        y = self.data["y"]
+        valid = self.data["valid"]
+
+        def body(carry, sched_i):
+            params, F_prev, rng = carry
+            rng, sub = jax.random.split(rng)   # same chain as step_once
+            data_i = {"y": y, "valid": valid, "F_prev": F_prev}
+            params, F, scalars = step(params, data_i, sched_i, sub)
+            return (params, F, rng), scalars
+
+        t0 = time.perf_counter()
+        (params, F, rng), stacked = jax.lax.scan(
+            body, (self.params, self.data["F_prev"], self.rng), sched_arr)
+        jax.block_until_ready(params)
+        total_dt = time.perf_counter() - t0
+
+        self.rng = rng
+        self.params = params
+        self.data = dict(self.data, F_prev=F)
+        stacked = {kk: np.asarray(jax.device_get(v))
+                   for kk, v in stacked.items()}
+        for j in range(k):
+            rec = {kk: float(v[j]) for kk, v in stacked.items()}
+            rec["iteration"] = self.anneal.position
+            rec["dt"] = total_dt / k
+            self.history.append(rec)
+            if self.dlog is not None:
+                self.dlog.append_all(rec)
+            self.anneal.next()
+        return self.params
+
     def step_once(self, verbose: bool = False) -> Dict:
         t0 = time.perf_counter()
         sched = sched_from_anneal(self.anneal)

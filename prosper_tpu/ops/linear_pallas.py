@@ -1,0 +1,266 @@
+"""Fused Pallas TPU kernel for the linear-family ET E-step.
+
+One kernel invocation per datapoint tile computes, entirely in VMEM:
+
+  projection GEMM -> candidate selection (iterated argmax one-hots) ->
+  candidate Gram blocks -> truncated-union logits (zero/singletons/multi) ->
+  annealed softmax + un-annealed logsumexp -> posterior moments ->
+  tile-accumulated sufficient statistics.
+
+Against the XLA path (core/etstep.py) this removes every HBM round-trip of
+the intermediates (P, one-hot, logits, q — ~100 MB per 8192-chunk).  The
+sufficient-statistic outputs use the sequential-grid accumulation pattern
+(same output block for every tile, initialised at tile 0).
+
+The XLA path remains the reference implementation (and the only one
+supporting enumerated-state-axis sharding); `linear_et_estep_pallas`
+produces identical sums (float32 tolerance) — see tests/test_pallas.py,
+which runs the kernel in interpret mode on CPU.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from prosper_tpu.core.etstep import LinearStateArrays
+
+
+def _kernel(scal_ref, y_ref, w_ref, W_ref, gram_ref, gdiag_ref,
+            states_ref, outer_ref, vcounts_ref, absst_ref, values_ref,
+            log_odds_ref,
+            F_ref, xs_ref, ss_ref, s_ref, misc_ref,
+            *, Ct: int, D: int, H: int, Hp: int, S: int, K: int,
+            signed_select: bool):
+    i = pl.program_id(0)
+    f32 = jnp.float32
+
+    sigma2 = scal_ref[0, 0]
+    beta = scal_ref[0, 1]
+    prior_beta = scal_ref[0, 2]
+    inv2s2 = 0.5 / sigma2
+
+    y = y_ref[:]                                   # (Ct, D)
+    w = w_ref[:, 0]                                # (Ct,)
+    W = W_ref[:]                                   # (D, H)
+    gram = gram_ref[:]                             # (H, H)
+    gdiag = gdiag_ref[:]                           # (1, H)
+    states = states_ref[:]                         # (S, Hp)
+    outer = outer_ref[:]                           # (S, Hp*Hp)
+    vcounts = vcounts_ref[:]                       # (S, K)
+    absst = absst_ref[:]                           # (1, S)
+    values = values_ref[:]                         # (1, K)
+    log_odds = log_odds_ref[:]                     # (1, K)
+
+    P = jnp.dot(y, W, preferred_element_type=f32)  # (Ct, H)
+
+    # ---- candidate selection: Hp iterated argmaxes -> one-hot slabs -------
+    w_norm = jnp.sqrt(jnp.maximum(gdiag, 1e-30))   # (1, H)
+    score = P / w_norm
+    if signed_select:
+        score = jnp.abs(score)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Ct, H), 1)
+    hots = []
+    s_work = score
+    for _ in range(Hp):
+        mx = jnp.max(s_work, axis=1, keepdims=True)
+        first = (s_work == mx)
+        # tie-break to the lowest index: keep only the first True per row
+        idx = jnp.min(jnp.where(first, col, H), axis=1, keepdims=True)
+        hot = (col == idx)
+        hots.append(hot.astype(f32))
+        s_work = jnp.where(hot, -jnp.inf, s_work)
+
+    # proj (Ct, Hp) and per-pair Gram entries Gf (Ct, Hp*Hp)
+    proj_cols = [jnp.sum(hots[a] * P, axis=1, keepdims=True)
+                 for a in range(Hp)]
+    proj = jnp.concatenate(proj_cols, axis=1)                    # (Ct, Hp)
+    T = [jnp.dot(hots[a], gram, preferred_element_type=f32)
+         for a in range(Hp)]                                     # Hp x (Ct,H)
+    G_cols = []
+    for a in range(Hp):
+        for b in range(Hp):
+            G_cols.append(jnp.sum(T[a] * hots[b], axis=1, keepdims=True))
+    Gf = jnp.concatenate(G_cols, axis=1)                         # (Ct, Hp*Hp)
+
+    # ---- truncated-union logits -------------------------------------------
+    lik_multi = (2.0 * jnp.dot(proj, states.T, preferred_element_type=f32)
+                 - jnp.dot(Gf, outer.T, preferred_element_type=f32)) * inv2s2
+    prior_multi = jnp.dot(vcounts, log_odds[0, :],
+                          preferred_element_type=f32)            # (S,)
+    # singletons as K separate (Ct, H) blocks: keeps every tensor 2-D and
+    # avoids both lane-dim reshapes and unaligned lane slices, which the
+    # Mosaic compiler rejects
+    lik_single_k = [
+        (2.0 * P * values[0, k] - gdiag * (values[0, k] ** 2)) * inv2s2
+        for k in range(K)]
+
+    # the union softmax is computed over its three parts separately — no
+    # concatenation, hence no unaligned lane-dimension slices (which the
+    # Mosaic compiler rejects) and no (Ct, 1+H*K+S) buffer
+    logits_multi = beta * lik_multi + prior_beta * prior_multi[None, :]
+    logits_single_k = [beta * lik_single_k[k] + prior_beta * log_odds[0, k]
+                       for k in range(K)]
+
+    def union_softmax(ls_k, lm):
+        m = jnp.maximum(jnp.max(lm, axis=1, keepdims=True), 0.0)
+        for ls in ls_k:
+            m = jnp.maximum(m, jnp.max(ls, axis=1, keepdims=True))
+        ps_k = [jnp.exp(ls - m) for ls in ls_k]
+        pm = jnp.exp(lm - m)
+        Z = jnp.exp(-m) + jnp.sum(pm, axis=1, keepdims=True)
+        for ps in ps_k:
+            Z = Z + jnp.sum(ps, axis=1, keepdims=True)
+        return [ps / Z for ps in ps_k], pm / Z, (m + jnp.log(Z))[:, 0]
+
+    qs_k, qm, logZ = union_softmax(logits_single_k, logits_multi)
+    _, _, logZ_t = union_softmax(
+        [lik_single_k[k] + log_odds[0, k] for k in range(K)],
+        lik_multi + prior_multi[None, :])
+
+    y2 = jnp.sum(y * y, axis=1)
+    log_p0 = -jnp.log1p(jnp.sum(jnp.exp(log_odds[0])))
+    log_norm = 0.5 * D * jnp.log(2.0 * jnp.pi * sigma2)
+    F = logZ - beta * (y2 * inv2s2) - beta * log_norm \
+        + prior_beta * H * log_p0
+    F_true = logZ_t - y2 * inv2s2 - log_norm + H * log_p0
+    F_ref[:] = F[:, None]
+
+    # ---- sufficient statistics (tile-accumulated) -------------------------
+    q_single_k = qs_k
+    q_multi = qm
+
+    s_single = sum(q_single_k[k] * values[0, k] for k in range(K))
+    ss_diag_single = sum(q_single_k[k] * (values[0, k] ** 2)
+                         for k in range(K))
+    s_cand = jnp.dot(q_multi, states, preferred_element_type=f32)  # (Ct,Hp)
+    ss_cand = jnp.dot(q_multi, outer, preferred_element_type=f32)  # (Ct,Hp^2)
+
+    s_full = s_single
+    for a in range(Hp):
+        s_full = s_full + hots[a] * s_cand[:, a][:, None]
+
+    wv = w
+    sw = s_full * wv[:, None]
+    tile_xs = jnp.dot(y.T, sw, preferred_element_type=f32)         # (D, H)
+    tile_s = jnp.sum(sw, axis=0)                                   # (H,)
+
+    # ss: sum_n sum_ab onehot_a^T (w * ss_cand[a,b]) onehot_b + diag(singles)
+    tile_ss = jnp.zeros((H, H), f32)
+    for a in range(Hp):
+        T2a = jnp.zeros((Ct, H), f32)
+        for b in range(Hp):
+            T2a = T2a + ss_cand[:, a * Hp + b][:, None] * hots[b]
+        tile_ss = tile_ss + jnp.dot((hots[a] * wv[:, None]).T, T2a,
+                                    preferred_element_type=f32)
+    diag_vals = jnp.sum(ss_diag_single * wv[:, None], axis=0)      # (H,)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (H, H), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)
+    tile_ss = tile_ss + jnp.where(row_i == col_i, diag_vals[None, :], 0.0)
+
+    q_single_tot = sum(q_single_k)                     # (Ct, H)
+    abs_n = (jnp.sum(q_single_tot, axis=1)
+             + jnp.dot(q_multi, absst[0], preferred_element_type=f32))
+    vc_mult = jnp.dot(q_multi, vcounts, preferred_element_type=f32)  # (Ct,K)
+    vc_sums = [jnp.sum((jnp.sum(q_single_k[k], axis=1) + vc_mult[:, k]) * wv)
+               for k in range(K)]
+
+    misc = jnp.stack(
+        vc_sums + [jnp.sum(abs_n * wv), jnp.sum(y2 * wv), jnp.sum(wv),
+                   jnp.sum(F * wv), jnp.sum(F_true * wv)])[None, :]
+
+    @pl.when(i == 0)
+    def _():
+        xs_ref[:] = tile_xs
+        ss_ref[:] = tile_ss
+        s_ref[:] = tile_s[None, :]
+        misc_ref[:] = misc
+
+    @pl.when(i > 0)
+    def _():
+        xs_ref[:] = xs_ref[:] + tile_xs
+        ss_ref[:] = ss_ref[:] + tile_ss
+        s_ref[:] = s_ref[:] + tile_s[None, :]
+        misc_ref[:] = misc_ref[:] + misc
+
+
+def linear_et_estep_pallas(
+        y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray, sigma2,
+        log_odds: jnp.ndarray, sa: LinearStateArrays, Hp: int,
+        signed_select: bool, beta, prior_beta, tile: int = 512,
+        interpret: bool = False) -> Tuple[jnp.ndarray, Dict]:
+    """Drop-in fused-kernel replacement for core.etstep.linear_et_estep
+    (single-device path; no state-axis sharding)."""
+    N, D = y.shape
+    H = W.shape[1]
+    S, K = sa.value_counts.shape
+    if N % tile != 0:
+        if N < tile:
+            tile = N
+        else:
+            raise ValueError(f"N={N} not a multiple of tile={tile}")
+    n_tiles = N // tile
+
+    gram = jnp.dot(W.T, W, preferred_element_type=jnp.float32)
+    gdiag = jnp.diagonal(gram)[None, :]
+    scal = jnp.stack([jnp.asarray(sigma2, jnp.float32),
+                      jnp.asarray(beta, jnp.float32),
+                      jnp.asarray(prior_beta, jnp.float32)])[None, :]
+
+    from functools import partial
+    kernel = partial(_kernel, Ct=tile, D=D, H=H, Hp=Hp, S=S, K=K,
+                     signed_select=signed_select)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((N, 1), jnp.float32),        # F
+        jax.ShapeDtypeStruct((D, H), jnp.float32),        # xs
+        jax.ShapeDtypeStruct((H, H), jnp.float32),        # ss
+        jax.ShapeDtypeStruct((1, H), jnp.float32),        # s
+        jax.ShapeDtypeStruct((1, K + 5), jnp.float32),    # misc
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, D), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((D, H), lambda i: (0, 0)),
+            pl.BlockSpec((H, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, H), lambda i: (0, 0)),
+            pl.BlockSpec((S, Hp), lambda i: (0, 0)),
+            pl.BlockSpec((S, Hp * Hp), lambda i: (0, 0)),
+            pl.BlockSpec((S, K), lambda i: (0, 0)),
+            pl.BlockSpec((1, S), lambda i: (0, 0)),
+            pl.BlockSpec((1, K), lambda i: (0, 0)),
+            pl.BlockSpec((1, K), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((D, H), lambda i: (0, 0)),
+            pl.BlockSpec((H, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, K + 5), lambda i: (0, 0)),
+        ],
+    )
+
+    F, xs, ss, s, misc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(scal, y, weight[:, None], W, gram, gdiag,
+      jnp.asarray(sa.states), jnp.asarray(sa.outer),
+      jnp.asarray(sa.value_counts), jnp.asarray(sa.abs_states)[None, :],
+      jnp.asarray(sa.values)[None, :], jnp.asarray(log_odds)[None, :])
+
+    s = s[0]
+    misc = misc[0]
+    sums = dict(xs=xs, ss=ss, s=s,
+                vc=misc[:K], abs=misc[K], y2=misc[K + 1], n=misc[K + 2],
+                F=misc[K + 3], F_true=misc[K + 4])
+    return F[:, 0], sums

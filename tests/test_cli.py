@@ -83,3 +83,14 @@ def test_cli_bad_config(tmp_path):
     p.write_text("x: 1")
     with pytest.raises(ValueError):
         cli.load_config(str(p))
+
+
+def test_cli_resume_and_scan(tiny_config, tmp_path):
+    out = str(tmp_path / "runr")
+    rc = cli.main(["train", tiny_config, "-o", out, "-q", "--scan"])
+    assert rc == 0
+    # resume: restarts from the checkpoint (schedule already exhausted ->
+    # finishes immediately but must not crash and must keep the checkpoint)
+    rc = cli.main(["train", tiny_config, "-o", out, "-q", "--resume"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "checkpoint.h5"))

@@ -75,3 +75,27 @@ def test_stride_data():
     # covers all points exactly
     spans = [stride_data(10, 4, i) for i in range(4)]
     assert sum(b - a for a, b in spans) == 10
+
+
+def test_run_scanned_matches_run(problem):
+    """The jit-compiled lax.scan driver reproduces the Python-loop driver."""
+    from prosper_tpu.engine.em import EM
+    from prosper_tpu.engine.anneal import LinearAnnealing
+    model, gt, data = problem
+
+    def mk_anneal():
+        a = LinearAnnealing(6)
+        a["T"] = [(0.0, 2.0), (0.7, 1.0)]
+        a["W_noise"] = [(0.0, 0.5), (0.7, 0.0)]
+        return a
+
+    em1 = EM(model, mk_anneal(), {"y": data["y"]}, seed=3)
+    p1 = em1.run()
+    em2 = EM(model, mk_anneal(), {"y": data["y"]}, seed=3)
+    p2 = em2.run_scanned()
+    np.testing.assert_allclose(np.asarray(p1["W"]), np.asarray(p2["W"]),
+                               rtol=1e-4, atol=1e-4)
+    q1 = [h["Q_mean"] for h in em1.history]
+    q2 = [h["Q_mean"] for h in em2.history]
+    np.testing.assert_allclose(q1, q2, rtol=1e-4, atol=1e-4)
+    assert em2.anneal.finished

@@ -65,25 +65,20 @@ def test_padded_training_ignores_padding():
     gt = bars_gt_params(model, intensity=10.0, sigma=1.0)
     data = model.generate_data(gt, 100, seed=4)
 
-    em_plain = EM(model, LinearAnnealing(5), {"y": data["y"][:64]}, seed=5)
-    p_plain = em_plain.run()
+    y64 = data["y"][:64]
+    init = model.standard_init({"y": y64}, seed=5)
 
-    padded = pad_for_mesh(data["y"][:64], n_shards=1, chunk=64)
-    assert padded["y"].shape[0] == 64
-    padded2 = pad_for_mesh(data["y"][:64], n_shards=1, chunk=128)
+    # exact-fit padding is a no-op
+    assert pad_for_mesh(y64, n_shards=1, chunk=64)["y"].shape[0] == 64
+
+    padded = pad_for_mesh(y64, n_shards=1, chunk=128)
     em_pad = EM(model, LinearAnnealing(5),
-                {"y": padded2["y"], "valid": padded2["valid"]}, seed=5)
-    # standard_init sees padding zeros -> initialise identically instead
-    em_pad.params = dict(p_plain)  # irrelevant; just check it runs and stats
-    em_pad = EM(model, LinearAnnealing(5),
-                {"y": padded2["y"], "valid": padded2["valid"]},
-                params=em_plain.model.standard_init({"y": data["y"][:64]},
-                                                    seed=5), seed=5)
-    em2 = EM(model, LinearAnnealing(5), {"y": data["y"][:64]},
-             params=model.standard_init({"y": data["y"][:64]}, seed=5),
-             seed=5)
+                {"y": padded["y"], "valid": padded["valid"]},
+                params=dict(init), seed=5)
+    em_ref = EM(model, LinearAnnealing(5), {"y": y64},
+                params=dict(init), seed=5)
     p_pad = em_pad.run()
-    p_ref = em2.run()
+    p_ref = em_ref.run()
     np.testing.assert_allclose(np.asarray(p_pad["W"]), np.asarray(p_ref["W"]),
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(float(p_pad["sigma"]), float(p_ref["sigma"]),
