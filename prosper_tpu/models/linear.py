@@ -43,8 +43,13 @@ class LinearETModel(ETModel):
     signed_select: bool = False
 
     def __init__(self, D, H, Hprime, gamma, values, to_learn=None, chunk=2048,
-                 min_active: int = 2):
+                 min_active: int = 2, backend: str = "xla"):
         super().__init__(D, H, Hprime, gamma, to_learn, chunk)
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"backend must be 'xla' or 'pallas', got {backend!r}")
+        #: 'pallas' switches the E-step to the fused VMEM kernel
+        #: (ops/linear_pallas.py; single-device path only)
+        self.backend = backend
         self.space = states_mod.discrete_state_space(
             Hprime, gamma, values, min_active=min_active)
         self.sa: LinearStateArrays = state_arrays_from(self.space)
@@ -95,10 +100,18 @@ class LinearETModel(ETModel):
         # E-step (hot loop) + global reduction of sufficient statistics
         # (over the data axis AND, when state sharding is on, the state axis)
         sigma2 = params["sigma"] ** 2
-        F, sums = linear_et_estep(
-            y, weight, params["W"], sigma2, self.log_odds(params), self.sa,
-            self.Hprime, self.signed_select, sched["beta"], sched["prior_beta"],
-            self.chunk, state_axis=state_axis, n_state_shards=n_state_shards)
+        if self.backend == "pallas" and state_axis is None:
+            from prosper_tpu.ops.linear_pallas import linear_et_estep_pallas
+            F, sums = linear_et_estep_pallas(
+                y, weight, params["W"], sigma2, self.log_odds(params),
+                self.sa, self.Hprime, self.signed_select, sched["beta"],
+                sched["prior_beta"])
+        else:
+            F, sums = linear_et_estep(
+                y, weight, params["W"], sigma2, self.log_odds(params),
+                self.sa, self.Hprime, self.signed_select, sched["beta"],
+                sched["prior_beta"], self.chunk, state_axis=state_axis,
+                n_state_shards=n_state_shards)
         sums = jax.tree_util.tree_map(lambda a: maybe_psum(a, axis_name), sums)
         if state_axis is not None and n_state_shards > 1:
             sums = jax.tree_util.tree_map(
@@ -176,9 +189,10 @@ class BSC(LinearETModel):
 
     signed_select = False
 
-    def __init__(self, D, H, Hprime, gamma, to_learn=None, chunk=2048):
+    def __init__(self, D, H, Hprime, gamma, to_learn=None, chunk=2048,
+                 backend: str = "xla"):
         super().__init__(D, H, Hprime, gamma, values=[1.0],
-                         to_learn=to_learn, chunk=chunk)
+                         to_learn=to_learn, chunk=chunk, backend=backend)
 
     def log_odds(self, params):
         pi = params["pi"]
@@ -206,9 +220,10 @@ class TSC(LinearETModel):
 
     signed_select = True
 
-    def __init__(self, D, H, Hprime, gamma, to_learn=None, chunk=2048):
+    def __init__(self, D, H, Hprime, gamma, to_learn=None, chunk=2048,
+                 backend: str = "xla"):
         super().__init__(D, H, Hprime, gamma, values=[-1.0, 1.0],
-                         to_learn=to_learn, chunk=chunk)
+                         to_learn=to_learn, chunk=chunk, backend=backend)
 
     def log_odds(self, params):
         pi = params["pi"]
@@ -244,9 +259,9 @@ class DSC(LinearETModel):
     signed_select = True
 
     def __init__(self, D, H, Hprime, gamma, phi=( -1.0, 1.0, 2.0),
-                 to_learn=None, chunk=2048):
+                 to_learn=None, chunk=2048, backend: str = "xla"):
         super().__init__(D, H, Hprime, gamma, values=list(phi),
-                         to_learn=to_learn, chunk=chunk)
+                         to_learn=to_learn, chunk=chunk, backend=backend)
         self.phi = np.asarray(phi, np.float64)
 
     def standard_init(self, data, seed: int = 0):

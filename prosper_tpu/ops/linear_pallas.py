@@ -45,7 +45,7 @@ def _kernel(scal_ref, y_ref, w_ref, W_ref, gram_ref, gdiag_ref,
     inv2s2 = 0.5 / sigma2
 
     y = y_ref[:]                                   # (Ct, D)
-    w = w_ref[:, 0]                                # (Ct,)
+    w2 = w_ref[:]                                  # (Ct, 1)
     W = W_ref[:]                                   # (D, H)
     gram = gram_ref[:]                             # (H, H)
     gdiag = gdiag_ref[:]                           # (1, H)
@@ -115,20 +115,20 @@ def _kernel(scal_ref, y_ref, w_ref, W_ref, gram_ref, gdiag_ref,
         Z = jnp.exp(-m) + jnp.sum(pm, axis=1, keepdims=True)
         for ps in ps_k:
             Z = Z + jnp.sum(ps, axis=1, keepdims=True)
-        return [ps / Z for ps in ps_k], pm / Z, (m + jnp.log(Z))[:, 0]
+        return [ps / Z for ps in ps_k], pm / Z, m + jnp.log(Z)   # logZ (Ct,1)
 
     qs_k, qm, logZ = union_softmax(logits_single_k, logits_multi)
     _, _, logZ_t = union_softmax(
         [lik_single_k[k] + log_odds[0, k] for k in range(K)],
         lik_multi + prior_multi[None, :])
 
-    y2 = jnp.sum(y * y, axis=1)
+    y2 = jnp.sum(y * y, axis=1, keepdims=True)             # (Ct, 1)
     log_p0 = -jnp.log1p(jnp.sum(jnp.exp(log_odds[0])))
     log_norm = 0.5 * D * jnp.log(2.0 * jnp.pi * sigma2)
     F = logZ - beta * (y2 * inv2s2) - beta * log_norm \
-        + prior_beta * H * log_p0
+        + prior_beta * H * log_p0                          # (Ct, 1)
     F_true = logZ_t - y2 * inv2s2 - log_norm + H * log_p0
-    F_ref[:] = F[:, None]
+    F_ref[:] = F
 
     # ---- sufficient statistics (tile-accumulated) -------------------------
     q_single_k = qs_k
@@ -144,10 +144,9 @@ def _kernel(scal_ref, y_ref, w_ref, W_ref, gram_ref, gdiag_ref,
     for a in range(Hp):
         s_full = s_full + hots[a] * s_cand[:, a][:, None]
 
-    wv = w
-    sw = s_full * wv[:, None]
+    sw = s_full * w2
     tile_xs = jnp.dot(y.T, sw, preferred_element_type=f32)         # (D, H)
-    tile_s = jnp.sum(sw, axis=0)                                   # (H,)
+    tile_s = jnp.sum(sw, axis=0, keepdims=True)                    # (1, H)
 
     # ss: sum_n sum_ab onehot_a^T (w * ss_cand[a,b]) onehot_b + diag(singles)
     tile_ss = jnp.zeros((H, H), f32)
@@ -155,49 +154,76 @@ def _kernel(scal_ref, y_ref, w_ref, W_ref, gram_ref, gdiag_ref,
         T2a = jnp.zeros((Ct, H), f32)
         for b in range(Hp):
             T2a = T2a + ss_cand[:, a * Hp + b][:, None] * hots[b]
-        tile_ss = tile_ss + jnp.dot((hots[a] * wv[:, None]).T, T2a,
+        tile_ss = tile_ss + jnp.dot((hots[a] * w2).T, T2a,
                                     preferred_element_type=f32)
-    diag_vals = jnp.sum(ss_diag_single * wv[:, None], axis=0)      # (H,)
+    diag_vals = jnp.sum(ss_diag_single * w2, axis=0, keepdims=True)  # (1,H)
     row_i = jax.lax.broadcasted_iota(jnp.int32, (H, H), 0)
     col_i = jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)
-    tile_ss = tile_ss + jnp.where(row_i == col_i, diag_vals[None, :], 0.0)
+    tile_ss = tile_ss + jnp.where(row_i == col_i, diag_vals, 0.0)
 
-    q_single_tot = sum(q_single_k)                     # (Ct, H)
-    abs_n = (jnp.sum(q_single_tot, axis=1)
-             + jnp.dot(q_multi, absst[0], preferred_element_type=f32))
+    # strictly 2-D scalar plumbing: Mosaic rejects 1-D<->2-D reshapes, so
+    # every "scalar" is a (1, 1) block concatenated into misc (1, K+5)
+    q_single_tot = sum(q_single_k)                                 # (Ct, H)
+    abs_n = (jnp.sum(q_single_tot, axis=1, keepdims=True)
+             + jnp.dot(q_multi, absst.T, preferred_element_type=f32))  # (Ct,1)
     vc_mult = jnp.dot(q_multi, vcounts, preferred_element_type=f32)  # (Ct,K)
-    vc_sums = [jnp.sum((jnp.sum(q_single_k[k], axis=1) + vc_mult[:, k]) * wv)
-               for k in range(K)]
 
-    misc = jnp.stack(
-        vc_sums + [jnp.sum(abs_n * wv), jnp.sum(y2 * wv), jnp.sum(wv),
-                   jnp.sum(F * wv), jnp.sum(F_true * wv)])[None, :]
+    def colsum(x):                                   # (Ct,1) -> (1,1)
+        return jnp.sum(x, axis=0, keepdims=True)
+
+    vc_parts = [colsum((jnp.sum(q_single_k[k], axis=1, keepdims=True)
+                        + vc_mult[:, k][:, None]) * w2) for k in range(K)]
+    misc = jnp.concatenate(
+        vc_parts + [colsum(abs_n * w2), colsum(y2 * w2), colsum(w2),
+                    colsum(F * w2), colsum(F_true * w2)], axis=1)  # (1, K+5)
 
     @pl.when(i == 0)
     def _():
         xs_ref[:] = tile_xs
         ss_ref[:] = tile_ss
-        s_ref[:] = tile_s[None, :]
+        s_ref[:] = tile_s
         misc_ref[:] = misc
 
     @pl.when(i > 0)
     def _():
         xs_ref[:] = xs_ref[:] + tile_xs
         ss_ref[:] = ss_ref[:] + tile_ss
-        s_ref[:] = s_ref[:] + tile_s[None, :]
+        s_ref[:] = s_ref[:] + tile_s
         misc_ref[:] = misc_ref[:] + misc
+
+
+def auto_tile(N: int, D: int, H: int, Hp: int, S: int, K: int,
+              vmem_budget: int = 10 * 1024 * 1024) -> int:
+    """Largest tile (divisor of N, <= 1024) whose VMEM working set fits.
+
+    Dominant live buffers per tile row: y (D), P/score/work (3H), the Hp
+    one-hot and T slabs (2*Hp*H), singles blocks (~3KH), multi logits (~3S).
+    tile=512 at the patches config (H=300, Hp=8) exceeds the ~16MB VMEM and
+    crashes the Mosaic compiler, hence the budgeted choice.
+    """
+    per_row = 4 * (D + 3 * H + 2 * Hp * H + 3 * K * H + 3 * S + 64)
+    tile = 1024
+    while tile > 8 and (tile * per_row > vmem_budget or N % tile != 0):
+        if N < tile:
+            tile = N
+            if tile * per_row <= vmem_budget:
+                break
+        tile //= 2
+    return max(tile, 8)
 
 
 def linear_et_estep_pallas(
         y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray, sigma2,
         log_odds: jnp.ndarray, sa: LinearStateArrays, Hp: int,
-        signed_select: bool, beta, prior_beta, tile: int = 512,
+        signed_select: bool, beta, prior_beta, tile: int = 0,
         interpret: bool = False) -> Tuple[jnp.ndarray, Dict]:
     """Drop-in fused-kernel replacement for core.etstep.linear_et_estep
-    (single-device path; no state-axis sharding)."""
+    (single-device path; no state-axis sharding).  tile=0 -> auto-size."""
     N, D = y.shape
     H = W.shape[1]
     S, K = sa.value_counts.shape
+    if tile <= 0:
+        tile = auto_tile(N, D, H, Hp, S, K)
     if N % tile != 0:
         if N < tile:
             tile = N

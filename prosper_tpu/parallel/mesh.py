@@ -96,7 +96,9 @@ def replication_error(tree, axis_name: str):
     (use inside shard_map).  The reference relies on MPI SPMD determinism
     for parameter replication (SURVEY.md §5.2); this turns the property into
     a measurable invariant: return it from the step in debug runs and assert
-    ``== 0`` (or tiny) host-side.
+    it is tiny host-side.  Note: all-reduce algorithms (ring) may apply a
+    different reduction order per participant, so expect float-epsilon-level
+    divergence, not exact zero — the same caveat applies to MPI_Allreduce.
     """
     n = jax.lax.psum(1, axis_name)
     errs = []

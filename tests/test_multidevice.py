@@ -99,3 +99,35 @@ def test_run_scanned_matches_run(problem):
     q2 = [h["Q_mean"] for h in em2.history]
     np.testing.assert_allclose(q1, q2, rtol=1e-4, atol=1e-4)
     assert em2.anneal.finished
+
+
+def test_replication_error_invariant(problem):
+    """Params stay bit-identical across shards after a psum'd M-step
+    (SURVEY §5.2 SPMD determinism, made assertable)."""
+    import jax
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from prosper_tpu.parallel.mesh import MeshRuntime, replication_error
+
+    model, gt, data = problem
+    rt = MeshRuntime()
+
+    def step_with_check(params, d, sched, rng, axis_name=None):
+        p, F, scal = model.step_fn(params, d, sched, rng, axis_name=axis_name)
+        scal = dict(scal, rep_err=replication_error(p, axis_name))
+        return p, F, scal
+
+    axis = rt.data_axis
+    mapped = jax.shard_map(
+        partial(step_with_check, axis_name=axis), mesh=rt.mesh,
+        in_specs=(P(), P(axis), P(), P()), out_specs=(P(), P(axis), P()),
+        check_vma=False)
+
+    from prosper_tpu.models.base import make_blank_data, sched_from_anneal
+    from prosper_tpu.engine.anneal import LinearAnnealing
+    d = rt.shard_data(make_blank_data(data["y"]))
+    params = rt.replicate(model.standard_init(data, seed=0))
+    sched = sched_from_anneal(LinearAnnealing(5))
+    p, F, scal = jax.jit(mapped)(params, d, sched, jax.random.PRNGKey(0))
+    # ring all-reduce order differs per participant -> float-eps divergence
+    assert float(scal["rep_err"]) < 1e-4
