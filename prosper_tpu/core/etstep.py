@@ -66,7 +66,7 @@ def state_arrays_from(space) -> LinearStateArrays:
 def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArrays,
                   Hp: int, signed_select: bool, beta, prior_beta,
                   state_axis=None, n_state_shards: int = 1,
-                  dense_gather: bool = True):
+                  dense_gather: bool = True, compute_dtype=None):
     """E-statistics for one chunk of datapoints.
 
     y : (C, D), w : (C,) accumulation weights (Ncut/partial/padding mask).
@@ -91,7 +91,16 @@ def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArr
     f32 = jnp.float32
 
     inv2s2 = 0.5 / sigma2
-    P = jnp.dot(y, W, preferred_element_type=f32)                      # (C, H)
+    if compute_dtype is not None:
+        # explicit low-precision inputs / f32 accumulation on the two large
+        # MXU GEMMs.  NOTE: measured on v5e, this is a no-op relative to the
+        # default — TPU 'default' matmul precision already multiplies in
+        # bf16 with f32 accumulation (outputs were bit-identical) — but the
+        # knob documents intent and matters on other backends/precisions.
+        P = jnp.dot(y.astype(compute_dtype), W.astype(compute_dtype),
+                    preferred_element_type=f32)                        # (C, H)
+    else:
+        P = jnp.dot(y, W, preferred_element_type=f32)                  # (C, H)
     w_norm = jnp.sqrt(jnp.maximum(gram_diag, 1e-30))
 
     if dense_gather:
@@ -218,7 +227,11 @@ def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArr
                   .reshape(H, H))
 
     sw = s_full * wv[:, None]
-    sum_xs = jnp.dot(y.T, sw, preferred_element_type=f32)                # (D, H)
+    if compute_dtype is not None:
+        sum_xs = jnp.dot(y.T.astype(compute_dtype), sw.astype(compute_dtype),
+                         preferred_element_type=f32)                     # (D, H)
+    else:
+        sum_xs = jnp.dot(y.T, sw, preferred_element_type=f32)            # (D, H)
     sum_s = jnp.sum(sw, axis=0)                                          # (H,)
     sum_ss_diag = jnp.sum(ss_diag_single * wv[:, None], axis=0)          # (H,)
     sum_ss = sum_ss + jnp.diag(sum_ss_diag)                              # (H, H)
@@ -245,7 +258,7 @@ def linear_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
                     sigma2, log_odds: jnp.ndarray, sa: LinearStateArrays,
                     Hp: int, signed_select: bool, beta, prior_beta,
                     chunk: int = 2048, state_axis=None,
-                    n_state_shards: int = 1
+                    n_state_shards: int = 1, compute_dtype=None
                     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Full-shard E-step with chunked online accumulation.
 
@@ -268,7 +281,7 @@ def linear_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
                    sigma2=sigma2, log_odds=log_odds, sa=sa, Hp=Hp,
                    signed_select=signed_select, beta=beta, prior_beta=prior_beta,
                    state_axis=state_axis, n_state_shards=n_state_shards,
-                   dense_gather=dense)
+                   dense_gather=dense, compute_dtype=compute_dtype)
 
     if N <= chunk:
         return body(y, weight)

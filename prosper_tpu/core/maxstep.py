@@ -52,19 +52,26 @@ def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
                  preferred_element_type=f32).reshape(C, Hp, D)           # (C,Hp,D)
 
     # ---- reconstruction per multi state: winner-take-all over active slots
+    # (fori_loop rather than a Python unroll: the unrolled (C,S,D) chain
+    # made remote compiles take minutes)
     act = sa.states > 0.5                                               # (S,Hp) bool
     neg_inf = jnp.float32(-3e38)
-    ybar = jnp.full((C, S, D), neg_inf)
-    best = jnp.zeros((C, S, D), jnp.int32)
-    key_val = jnp.full((C, S, D), neg_inf)   # ranking key (W or |W|)
-    for h in range(Hp):
-        vh = Wc[:, h, :][:, None, :]                                    # (C,1,D)
+
+    def win_body(h, carry):
+        ybar, best, key_val = carry
+        vh = jax.lax.dynamic_slice_in_dim(Wc, h, 1, axis=1)             # (C,1,D)
         kh = jnp.abs(vh) if magnitude else vh
-        kh = jnp.where(act[None, :, h, None], kh, neg_inf)              # (C,S,D)
+        act_h = jax.lax.dynamic_slice_in_dim(act, h, 1, axis=1)         # (S,1)
+        kh = jnp.where(act_h[None, :, 0, None], kh, neg_inf)            # (C,S,D)
         better = kh > key_val
-        key_val = jnp.where(better, kh, key_val)
-        ybar = jnp.where(better, vh, ybar)
-        best = jnp.where(better, h, best)
+        return (jnp.where(better, vh, ybar),
+                jnp.where(better, h, best),
+                jnp.where(better, kh, key_val))
+
+    ybar, best, key_val = jax.lax.fori_loop(
+        0, Hp, win_body,
+        (jnp.full((C, S, D), neg_inf), jnp.zeros((C, S, D), jnp.int32),
+         jnp.full((C, S, D), neg_inf)))
     # every multi state has >=2 active slots, so ybar is fully defined
 
     y_dot = jnp.einsum("nd,nsd->ns", y, ybar)                           # (C,S)
@@ -113,11 +120,15 @@ def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
     # ---- winner responsibilities for the M-step:
     #   A_ndh = sum_s q_ns * [slot h wins dim d in state s]  (candidate slots)
     qa = q_multi * wv[:, None]                                          # (C,S)
-    accA = []
-    for h in range(Hp):
-        mask_h = (best == h) & (key_val > neg_inf / 2)                  # (C,S,D)
-        accA.append(jnp.einsum("ns,nsd->nd", qa, mask_h.astype(f32)))
-    accA = jnp.stack(accA, axis=1)                                      # (C,Hp,D)
+
+    def resp_body(h, accA):
+        mask_h = ((best == h) & (key_val > neg_inf / 2)).astype(f32)    # (C,S,D)
+        acc_h = jnp.einsum("ns,nsd->nd", qa, mask_h)
+        return jax.lax.dynamic_update_slice_in_dim(
+            accA, acc_h[:, None, :], h, axis=1)
+
+    accA = jax.lax.fori_loop(0, Hp, resp_body,
+                             jnp.zeros((C, Hp, D), f32))                # (C,Hp,D)
 
     # (C,Hp,D) -> (H,D) via one-hot GEMMs, plus singleton contributions
     denom = jnp.einsum("nah,nad->hd", onehot, accA)                     # (H,D)

@@ -43,13 +43,16 @@ class LinearETModel(ETModel):
     signed_select: bool = False
 
     def __init__(self, D, H, Hprime, gamma, values, to_learn=None, chunk=2048,
-                 min_active: int = 2, backend: str = "xla"):
+                 min_active: int = 2, backend: str = "xla",
+                 compute_dtype=None):
         super().__init__(D, H, Hprime, gamma, to_learn, chunk)
         if backend not in ("xla", "pallas"):
             raise ValueError(f"backend must be 'xla' or 'pallas', got {backend!r}")
         #: 'pallas' switches the E-step to the fused VMEM kernel
         #: (ops/linear_pallas.py; single-device path only)
         self.backend = backend
+        #: e.g. jnp.bfloat16 — throughput mode for the large GEMMs (XLA path)
+        self.compute_dtype = compute_dtype
         self.space = states_mod.discrete_state_space(
             Hprime, gamma, values, min_active=min_active)
         self.sa: LinearStateArrays = state_arrays_from(self.space)
@@ -111,7 +114,8 @@ class LinearETModel(ETModel):
                 y, weight, params["W"], sigma2, self.log_odds(params),
                 self.sa, self.Hprime, self.signed_select, sched["beta"],
                 sched["prior_beta"], self.chunk, state_axis=state_axis,
-                n_state_shards=n_state_shards)
+                n_state_shards=n_state_shards,
+                compute_dtype=self.compute_dtype)
         sums = jax.tree_util.tree_map(lambda a: maybe_psum(a, axis_name), sums)
         if state_axis is not None and n_state_shards > 1:
             sums = jax.tree_util.tree_map(
