@@ -1,0 +1,67 @@
+"""Patches-scale end-to-end run — BASELINE.json configs[4].
+
+D = 16x16 = 256, H = 300, N = 1e6 datapoints, planted sparse dictionary:
+generate data from the BSC model itself (the scaled analogue of the bars
+test) and verify the TPU build recovers the dictionary at scale.
+
+Run (one TPU chip):   python examples/patches_scale_run.py
+"""
+
+import time
+
+import numpy as np
+
+from prosper_tpu.data.bars import cosine_match
+from prosper_tpu.engine.anneal import LinearAnnealing
+from prosper_tpu.engine.em import EM
+from prosper_tpu.models import BSC
+
+
+def planted_dictionary(D, H, active_pixels=8, intensity=10.0, seed=0):
+    """Random sparse dictionary: each column lights a few random pixels
+    (low coherence -> recoverable; the scaled stand-in for bars)."""
+    rng = np.random.default_rng(seed)
+    W = np.zeros((D, H), np.float32)
+    for h in range(H):
+        idx = rng.choice(D, size=active_pixels, replace=False)
+        W[idx, h] = intensity
+    return W
+
+
+def main(N=1_000_000, D=256, H=300, Hp=8, gamma=4, iters=60, seed=0,
+         backend="xla", scanned=True):
+    from prosper_tpu.data.patches import pad_for_mesh
+
+    model = BSC(D, H, Hp, gamma, chunk=8192, backend=backend)
+    gt = {"W": planted_dictionary(D, H, seed=seed),
+          "pi": np.float32(2.0 / H), "sigma": np.float32(1.0)}
+
+    t0 = time.time()
+    data = model.generate_data(gt, N, seed=seed + 1)
+    print(f"[patches] generated {N} datapoints in {time.time()-t0:.1f}s",
+          flush=True)
+    padded = pad_for_mesh(data["y"], n_shards=1, chunk=model.chunk)
+
+    anneal = LinearAnnealing(iters)
+    anneal["T"] = [(0.0, 2.0), (0.6, 1.0)]
+    anneal["W_noise"] = [(0.0, 0.5), (0.6, 0.0)]
+    anneal["Ncut_factor"] = [(0.5, 0.0), (0.9, 1.0)]
+
+    em = EM(model, anneal, padded, seed=seed + 2,
+            params=model.standard_init(data, seed=seed + 3))
+    t0 = time.time()
+    params = em.run_scanned() if scanned else em.run(verbose=False)
+    wall = time.time() - t0
+    per_iter = np.mean([h["dt"] for h in em.history[2:]])
+
+    _, cosines = cosine_match(np.asarray(params["W"]), gt["W"])
+    rec = int((cosines > 0.8).sum())
+    print(f"[patches] {iters} iters in {wall:.1f}s "
+          f"({per_iter*1e3:.0f} ms/iter, "
+          f"{N/per_iter/1e6:.1f} M dp/s); recovered {rec}/{H} columns; "
+          f"sigma={float(params['sigma']):.3f} pi={float(params['pi']):.4f}")
+    return rec, per_iter
+
+
+if __name__ == "__main__":
+    main()

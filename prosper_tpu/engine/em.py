@@ -86,21 +86,24 @@ class EM:
         per-iteration W history matters).
         """
         import jax.numpy as jnp
-        from prosper_tpu.models.base import sched_from_anneal
+        from prosper_tpu.models.base import sched_floats
 
         remaining = self.anneal.steps - self.anneal.position
         k = remaining if n_steps is None else min(n_steps, remaining)
         if k <= 0:
             return self.params
 
-        # per-iteration schedule arrays (host-computed, tiny)
+        # per-iteration schedule arrays (pure host floats -> ONE device
+        # transfer; building per-step device scalars would cost hundreds of
+        # tiny transfers)
         scheds = []
         probe = self.anneal.position
         for j in range(k):
             self.anneal.position = probe + j
-            scheds.append(sched_from_anneal(self.anneal))
+            scheds.append(sched_floats(self.anneal))
         self.anneal.position = probe
-        sched_arr = {key: jnp.stack([s[key] for s in scheds])
+        sched_arr = {key: jnp.asarray(np.array([s[key] for s in scheds],
+                                               np.float32))
                      for key in scheds[0]}
 
         step = self._step

@@ -168,21 +168,26 @@ class ETModel:
         return params, data, scalars
 
 
-def sched_from_anneal(anneal) -> Dict[str, jnp.ndarray]:
-    """Annealing snapshot -> traced scalar dict (no recompiles across steps)."""
+def sched_floats(anneal) -> Dict[str, float]:
+    """Annealing snapshot -> plain host floats (no device ops)."""
     s = anneal.as_scalars() if hasattr(anneal, "as_scalars") else dict(anneal)
-    beta = jnp.float32(s.get("beta", 1.0))
+    beta = float(s.get("beta", 1.0))
     anneal_prior = bool(s.get("anneal_prior", 0.0))
     return {
         "beta": beta,
-        "prior_beta": beta if anneal_prior else jnp.float32(1.0),
-        "Ncut_factor": jnp.float32(s.get("Ncut_factor", 0.0)),
-        "partial": jnp.float32(s.get("partial", 1.0)),
-        "W_noise": jnp.float32(s.get("W_noise", 0.0)),
-        "pi_noise": jnp.float32(s.get("pi_noise", 0.0)),
-        "sigma_noise": jnp.float32(s.get("sigma_noise", 0.0)),
-        "mu_noise": jnp.float32(s.get("mu_noise", 0.0)),
+        "prior_beta": beta if anneal_prior else 1.0,
+        "Ncut_factor": float(s.get("Ncut_factor", 0.0)),
+        "partial": float(s.get("partial", 1.0)),
+        "W_noise": float(s.get("W_noise", 0.0)),
+        "pi_noise": float(s.get("pi_noise", 0.0)),
+        "sigma_noise": float(s.get("sigma_noise", 0.0)),
+        "mu_noise": float(s.get("mu_noise", 0.0)),
     }
+
+
+def sched_from_anneal(anneal) -> Dict[str, jnp.ndarray]:
+    """Annealing snapshot -> traced scalar dict (no recompiles across steps)."""
+    return {k: jnp.float32(v) for k, v in sched_floats(anneal).items()}
 
 
 def make_blank_data(y, valid=None) -> Dict:
