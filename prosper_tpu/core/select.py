@@ -113,12 +113,28 @@ def global_quantile_threshold(values: jnp.ndarray,
     hi = maybe_pmax(jnp.max(v), axis_name)
     hi = hi + jnp.maximum(1e-6, 1e-6 * jnp.abs(hi))  # open upper edge
 
+    N = v.shape[0]
+    hist_chunk = 65536
+
+    def local_hist(lo, width):
+        def one(vc, wc):
+            idx = jnp.clip(jnp.floor((vc - lo) / width), 0,
+                           bins - 1).astype(jnp.int32)
+            onehot = jax.nn.one_hot(idx, bins, dtype=jnp.float32)
+            return jnp.sum(onehot * wc[:, None], axis=0)
+        if N <= hist_chunk or N % hist_chunk != 0:
+            return one(v, valid)
+        vc = v.reshape(-1, hist_chunk)
+        wc = valid.reshape(-1, hist_chunk)
+        def body(acc, xs):
+            return acc + one(*xs), None
+        acc, _ = jax.lax.scan(body, jnp.zeros((bins,), jnp.float32), (vc, wc))
+        return acc
+
     def round_body(_, carry):
         lo, hi = carry
         width = jnp.maximum((hi - lo) / bins, 1e-30)
-        idx = jnp.clip(jnp.floor((v - lo) / width), 0, bins - 1).astype(jnp.int32)
-        onehot = jax.nn.one_hot(idx, bins, dtype=jnp.float32) * valid[:, None]
-        hist = maybe_psum(jnp.sum(onehot, axis=0), axis_name)          # (bins,)
+        hist = maybe_psum(local_hist(lo, width), axis_name)            # (bins,)
         tail = jnp.cumsum(hist[::-1])[::-1]                            # #points in bins >= b
         # largest bin index whose tail still covers keep_count
         bidx = jnp.arange(bins)
