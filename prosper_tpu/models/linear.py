@@ -103,7 +103,11 @@ class LinearETModel(ETModel):
         # E-step (hot loop) + global reduction of sufficient statistics
         # (over the data axis AND, when state sharding is on, the state axis)
         sigma2 = params["sigma"] ** 2
-        if self.backend == "pallas" and state_axis is None:
+        # the fused kernel targets production shapes; tiny toy dims (lane
+        # dimensions well under a VREG) fail Mosaic layout, so fall back
+        use_pallas = (self.backend == "pallas" and state_axis is None
+                      and self.H >= 64 and self.D >= 64)
+        if use_pallas:
             from prosper_tpu.ops.linear_pallas import linear_et_estep_pallas
             F, sums = linear_et_estep_pallas(
                 y, weight, params["W"], sigma2, self.log_odds(params),
