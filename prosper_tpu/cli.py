@@ -105,6 +105,11 @@ def cmd_train(args) -> int:
 
     cfg = load_config(args.config)
     model = cfg["model"]
+    if getattr(args, "backend", None):
+        if not hasattr(model, "backend"):
+            raise SystemExit(f"model {type(model).__name__} has no backend "
+                             "selection")
+        model.backend = args.backend
     anneal = cfg["anneal"]
     data = _load_data(cfg, model, args)
 
@@ -207,6 +212,8 @@ def main(argv=None) -> int:
                     help="restart from <output>/checkpoint.h5 if present")
     pt.add_argument("--scan", action="store_true",
                     help="run all iterations inside one jit (lax.scan)")
+    pt.add_argument("--backend", choices=("xla", "pallas"), default=None,
+                    help="E-step backend for linear models")
     pt.set_defaults(fn=cmd_train)
 
     pi = sub.add_parser("infer", help="posterior decode with trained params")
