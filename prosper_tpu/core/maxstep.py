@@ -36,7 +36,7 @@ from prosper_tpu.core.select import top_hprime_candidates
 
 def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
                       sa: LinearStateArrays, Hp: int, magnitude: bool,
-                      beta, prior_beta):
+                      beta, prior_beta, rho=0.0):
     """E-statistics for one chunk: union {0} ∪ {singletons} ∪ {multi}."""
     C, D = y.shape
     H = W.shape[1]
@@ -118,17 +118,45 @@ def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
     sum_abs = jnp.sum(abs_n * wv)
 
     # ---- winner responsibilities for the M-step:
-    #   A_ndh = sum_s q_ns * [slot h wins dim d in state s]  (candidate slots)
+    #   hard (rho <= 0):  A_ndh = sum_s q_ns [slot h wins dim d in state s]
+    #   soft (rho > 0):   A_ndh = sum_s q_ns K_h^rho / sum_h' K_h'^rho
+    # The soft form is the reference's annealed softened max; ratios are
+    # normalised by the winner value (key_val) so K^rho never overflows and
+    # rho -> inf recovers the hard winner.
     qa = q_multi * wv[:, None]                                          # (C,S)
 
-    def resp_body(h, accA):
-        mask_h = ((best == h) & (key_val > neg_inf / 2)).astype(f32)    # (C,S,D)
-        acc_h = jnp.einsum("ns,nsd->nd", qa, mask_h)
-        return jax.lax.dynamic_update_slice_in_dim(
-            accA, acc_h[:, None, :], h, axis=1)
+    def hard_resp():
+        def body(h, accA):
+            mask_h = ((best == h) & (key_val > neg_inf / 2)).astype(f32)
+            acc_h = jnp.einsum("ns,nsd->nd", qa, mask_h)
+            return jax.lax.dynamic_update_slice_in_dim(
+                accA, acc_h[:, None, :], h, axis=1)
+        return jax.lax.fori_loop(0, Hp, body, jnp.zeros((C, Hp, D), f32))
 
-    accA = jax.lax.fori_loop(0, Hp, resp_body,
-                             jnp.zeros((C, Hp, D), f32))                # (C,Hp,D)
+    def soft_resp():
+        kv = jnp.maximum(jnp.abs(key_val), 1e-20)
+
+        def powers(h):
+            vh = jax.lax.dynamic_slice_in_dim(Wc, h, 1, axis=1)
+            kh = jnp.abs(vh) if magnitude else vh
+            act_h = jax.lax.dynamic_slice_in_dim(act_f, h, 1, axis=1)
+            ratio = jnp.clip(jnp.abs(kh) / kv, 0.0, 1.0)
+            return act_h[None, :, 0, None] * ratio ** rho               # (C,S,D)
+
+        def dbody(h, denom):
+            return denom + powers(h)
+        denom = jax.lax.fori_loop(0, Hp, dbody,
+                                  jnp.full((C, S, D), 1e-20, f32))
+
+        def nbody(h, accA):
+            A_h = powers(h) / denom
+            acc_h = jnp.einsum("ns,nsd->nd", qa, A_h)
+            return jax.lax.dynamic_update_slice_in_dim(
+                accA, acc_h[:, None, :], h, axis=1)
+        return jax.lax.fori_loop(0, Hp, nbody, jnp.zeros((C, Hp, D), f32))
+
+    act_f = act.astype(f32)
+    accA = jax.lax.cond(rho > 0, soft_resp, hard_resp)                  # (C,Hp,D)
 
     # (C,Hp,D) -> (H,D) via one-hot GEMMs, plus singleton contributions
     denom = jnp.einsum("nah,nad->hd", onehot, accA)                     # (H,D)
@@ -241,7 +269,7 @@ def max_et_posterior(y: jnp.ndarray, W: jnp.ndarray, sigma2,
 def max_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
                  sigma2, log_odds_scalar, sa: LinearStateArrays, Hp: int,
                  magnitude: bool, beta, prior_beta,
-                 chunk: int = 256) -> Tuple[jnp.ndarray, Dict]:
+                 chunk: int = 256, rho=0.0) -> Tuple[jnp.ndarray, Dict]:
     """Full-shard max-superposition E-step, chunked like linear_et_estep.
 
     ``chunk`` bounds the (chunk, S, D) reconstruction tile; pick it so
@@ -254,7 +282,7 @@ def max_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
     body = partial(_chunk_max_estats, W=W, gram_diag=gram_diag,
                    sigma2=sigma2, log_odds_scalar=log_odds_scalar, sa=sa,
                    Hp=Hp, magnitude=magnitude, beta=beta,
-                   prior_beta=prior_beta)
+                   prior_beta=prior_beta, rho=rho)
     if N <= chunk:
         return body(y, weight)
     if N % chunk != 0:

@@ -74,7 +74,7 @@ class MCA(ETModel):
         F, sums = max_et_estep(
             y, weight, params["W"], sigma2, self._log_odds(params), self.sa,
             self.Hprime, self.magnitude, sched["beta"], sched["prior_beta"],
-            self.chunk)
+            self.chunk, rho=sched["rho"])
         sums = jax.tree_util.tree_map(lambda a: maybe_psum(a, axis_name), sums)
 
         new = dict(params)

@@ -151,3 +151,48 @@ def test_mmca_bars_recovery():
                                  np.asarray(gt["W"]), threshold=0.8,
                                  signed=True)
     assert n_rec >= H - 1, f"recovered {n_rec}/{H} bars (MMCA)"
+
+
+def test_soft_rho_converges_to_hard():
+    """rho -> large recovers the hard-winner responsibilities."""
+    import jax.numpy as jnp
+    N, D, H, Hp, gamma = 10, 8, 6, 6, 3
+    rng = np.random.default_rng(11)
+    W = (np.abs(rng.standard_normal((D, H))) + 0.1).astype(np.float32)
+    y = rng.standard_normal((N, D)).astype(np.float32) * 1.5
+    space = binary_state_space(Hp, gamma)
+    sa = state_arrays_from(space)
+    lo = jnp.float32(np.log(0.2 / 0.8))
+
+    def run(rho):
+        return max_et_estep(jnp.asarray(y), jnp.ones((N,), jnp.float32),
+                            jnp.asarray(W), jnp.float32(1.0), lo, sa, Hp,
+                            False, jnp.float32(1.0), jnp.float32(1.0),
+                            chunk=2048, rho=jnp.float32(rho))
+
+    _, hard = run(0.0)
+    _, soft = run(200.0)
+    np.testing.assert_allclose(np.asarray(soft["numer"]),
+                               np.asarray(hard["numer"]), rtol=2e-2,
+                               atol=2e-2)
+    # small rho spreads responsibility (denominators grow where overlaps)
+    _, soft2 = run(2.0)
+    assert not np.allclose(np.asarray(soft2["denom"]),
+                           np.asarray(hard["denom"]), atol=1e-3)
+
+
+def test_mca_bars_with_annealed_rho():
+    """Reference-style annealed softened max still recovers all bars."""
+    from prosper_tpu.data.bars import bars_gt_params, count_recovered_bars
+    from prosper_tpu.engine.em import EM
+
+    R = 4
+    model = MCA(R * R, 2 * R, 6, 3, chunk=1000)
+    gt = bars_gt_params(model, intensity=10.0, sigma=1.0)
+    data = model.generate_data(gt, 1000, seed=21)
+    a = _anneal(60)
+    a["rho"] = [(0.0, 2.0), (0.7, 20.0)]
+    em = EM(model, a, {"y": data["y"]}, seed=13)
+    p = em.run()
+    rec = count_recovered_bars(np.asarray(p["W"]), np.asarray(gt["W"]), 0.8)
+    assert rec == model.H, f"recovered {rec}/{model.H} with annealed rho"
