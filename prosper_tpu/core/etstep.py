@@ -338,10 +338,13 @@ def linear_et_posterior(y: jnp.ndarray, W: jnp.ndarray, sigma2,
     inv2s2 = 0.5 / sigma2
     P = jnp.dot(y, W, preferred_element_type=f32)
     w_norm = jnp.sqrt(jnp.maximum(gram_diag, 1e-30))
-    cand = top_hprime_candidates(P, w_norm, Hp, signed_select)
+    from prosper_tpu.core.select import top_hprime_candidates_dense
+    cand, onehot = top_hprime_candidates_dense(P, w_norm, Hp, signed_select)
 
-    proj = jnp.take_along_axis(P, cand, axis=1)
-    G = gram[cand[:, :, None], cand[:, None, :]]
+    proj = jnp.einsum("nah,nh->na", onehot, P)
+    T = jnp.dot(onehot.reshape(N * Hp, H), gram,
+                preferred_element_type=f32).reshape(N, Hp, H)
+    G = jnp.einsum("nak,nbk->nab", T, onehot)
     Gf = G.reshape(N, Hp * Hp)
     lik_multi = (2.0 * jnp.dot(proj, sa.states.T, preferred_element_type=f32)
                  - jnp.dot(Gf, sa.outer.T, preferred_element_type=f32)) * inv2s2
@@ -366,14 +369,11 @@ def linear_et_posterior(y: jnp.ndarray, W: jnp.ndarray, sigma2,
          - beta * 0.5 * D * jnp.log(2.0 * jnp.pi * sigma2)
          + prior_beta * H * log_p0)
 
-    # posterior mean
+    # posterior mean (scatter-free: dense one-hot GEMMs)
     q_single = q[:, 1:1 + H * K].reshape(N, H, K)
     q_multi = q[:, 1 + H * K:]
     s_cand = jnp.dot(q_multi, sa.states, preferred_element_type=f32)
-    rows = jnp.arange(N, dtype=jnp.int32)[:, None] * H
-    s_mean = ((q_single @ v).reshape(-1)
-              .at[(rows + cand).reshape(-1)].add(s_cand.reshape(-1))
-              .reshape(N, H))
+    s_mean = (q_single @ v) + jnp.einsum("na,nah->nh", s_cand, onehot)
     recon = jnp.dot(s_mean, W.T, preferred_element_type=f32)
 
     # top-L states as full-H vectors
@@ -387,16 +387,8 @@ def linear_et_posterior(y: jnp.ndarray, W: jnp.ndarray, sigma2,
 
     s_idx = jnp.clip(u - H * K, 0, S - 1)
     is_multi = u >= H * K
-    multi_cand_vals = sa.states[s_idx]                                 # (N,L,Hp)
-    # scatter candidate-slot values into full H per (n, l)
-    NL = N * top_L
-    flat_rows = jnp.repeat(jnp.arange(N, dtype=jnp.int32), top_L)
-    base = (jnp.arange(NL, dtype=jnp.int32)[:, None] * H + cand[flat_rows])
-    multi_vec = (jnp.zeros((NL * H,), f32)
-                 .at[base.reshape(-1)]
-                 .add((multi_cand_vals * is_multi[..., None])
-                      .reshape(NL, Hp).reshape(-1))
-                 .reshape(N, top_L, H))
+    multi_cand_vals = (sa.states[s_idx] * is_multi[..., None])         # (N,L,Hp)
+    multi_vec = jnp.einsum("nla,nah->nlh", multi_cand_vals, onehot)
     top_states = single_vec + multi_vec
 
     return {"top_states": top_states, "top_probs": top_q,

@@ -249,9 +249,12 @@ def gsc_posterior(y: jnp.ndarray, W: jnp.ndarray, sigma2, pi, mu, psi,
 
     P = jnp.dot(y, W, preferred_element_type=f32)
     w_norm = jnp.sqrt(jnp.maximum(gram_diag, 1e-30))
-    cand = top_hprime_candidates(P, w_norm, Hp, signed=True)
-    proj = jnp.take_along_axis(P, cand, axis=1)
-    G = gram[cand[:, :, None], cand[:, None, :]]
+    from prosper_tpu.core.select import top_hprime_candidates_dense
+    cand, onehot = top_hprime_candidates_dense(P, w_norm, Hp, signed=True)
+    proj = jnp.einsum("nah,nh->na", onehot, P)
+    T = jnp.dot(onehot.reshape(N * Hp, H), gram,
+                preferred_element_type=f32).reshape(N, Hp, H)
+    G = jnp.einsum("nak,nbk->nab", T, onehot)
 
     act = (sa.states > 0.5).astype(f32)
     k_s = sa.abs_states
@@ -289,16 +292,12 @@ def gsc_posterior(y: jnp.ndarray, W: jnp.ndarray, sigma2, pi, mu, psi,
 
     q_single = q[:, 1:1 + H]
     q_multi = q[:, 1 + H:]
-    rows = jnp.arange(N, dtype=jnp.int32)[:, None] * H
-    flat = (rows + cand).reshape(-1)
     # support posterior p(b_h = 1 | y)
     b_cand = jnp.dot(q_multi, act, preferred_element_type=f32)
-    b_mean = (q_single.reshape(-1).at[flat].add(b_cand.reshape(-1))
-              .reshape(N, H))
+    b_mean = q_single + jnp.einsum("na,nah->nh", b_cand, onehot)
     # slab means <s_h z_h>
     sz_cand = jnp.einsum("ns,nsh->nh", q_multi, kappa)
-    sz_mean = ((q_single * kappa1).reshape(-1)
-               .at[flat].add(sz_cand.reshape(-1)).reshape(N, H))
+    sz_mean = (q_single * kappa1) + jnp.einsum("na,nah->nh", sz_cand, onehot)
     recon = jnp.dot(sz_mean, W.T, preferred_element_type=f32)
 
     top_q, top_u = jax.lax.top_k(q, top_L)
@@ -308,14 +307,8 @@ def gsc_posterior(y: jnp.ndarray, W: jnp.ndarray, sigma2, pi, mu, psi,
                                 dtype=f32) * is_single[..., None]
     s_idx = jnp.clip(u - H, 0, S - 1)
     is_multi = u >= H
-    NL = N * top_L
-    flat_rows = jnp.repeat(jnp.arange(N, dtype=jnp.int32), top_L)
-    base = (jnp.arange(NL, dtype=jnp.int32)[:, None] * H + cand[flat_rows])
-    multi_vec = (jnp.zeros((NL * H,), f32)
-                 .at[base.reshape(-1)]
-                 .add((act[s_idx] * is_multi[..., None])
-                      .reshape(NL, Hp).reshape(-1))
-                 .reshape(N, top_L, H))
+    multi_cand_vals = act[s_idx] * is_multi[..., None]
+    multi_vec = jnp.einsum("nla,nah->nlh", multi_cand_vals, onehot)
     return {"top_states": single_vec + multi_vec, "top_probs": top_q,
             "b_mean": b_mean, "s_mean": sz_mean, "recon": recon, "F": F}
 

@@ -8,10 +8,9 @@ and "MMCA-ET" (mmca_et.py) — mount unavailable, behavior-level parity:
   MMCA:  ybar_d = W_dh*,  h* = argmax_{h active} |W_dh|   (signed variant)
 
 with isotropic Gaussian noise and a Bernoulli(pi) prior, and an M-step that
-distributes each observed dimension's responsibility onto the *winning*
-cause (the reference softens the max with an annealed exponent rho; here we
-use the hard winner — the rho -> inf limit — which the annealed schedule
-converges to; W_noise annealing provides the symmetry breaking instead).
+distributes each observed dimension's responsibility onto its causes: the
+hard winner by default (rho <= 0), or the reference's annealed softened max
+A = K^rho / sum K'^rho when the 'rho' annealing channel is scheduled.
 
 TPU formulation: unlike the linear family, `max` admits no Gram shortcut, so
 the reconstruction ybar IS materialised per (datapoint, state, dim) — but
@@ -200,8 +199,10 @@ def max_et_posterior(y: jnp.ndarray, W: jnp.ndarray, sigma2,
 
     P = jnp.dot(y, W, preferred_element_type=f32)
     w_norm = jnp.sqrt(jnp.maximum(gram_diag, 1e-30))
-    cand = top_hprime_candidates(P, w_norm, Hp, magnitude)
-    Wc = jnp.take(W.T, cand, axis=0)
+    from prosper_tpu.core.select import top_hprime_candidates_dense
+    cand, onehot = top_hprime_candidates_dense(P, w_norm, Hp, magnitude)
+    Wc = jnp.dot(onehot.reshape(N * Hp, H), W.T,
+                 preferred_element_type=f32).reshape(N, Hp, D)
 
     act = sa.states > 0.5
     neg_inf = jnp.float32(-3e38)
@@ -238,10 +239,7 @@ def max_et_posterior(y: jnp.ndarray, W: jnp.ndarray, sigma2,
     q_single = q[:, 1:1 + H]
     q_multi = q[:, 1 + H:]
     s_cand = jnp.dot(q_multi, sa.states, preferred_element_type=f32)
-    rows = jnp.arange(N, dtype=jnp.int32)[:, None] * H
-    s_mean = (q_single.reshape(-1)
-              .at[(rows + cand).reshape(-1)].add(s_cand.reshape(-1))
-              .reshape(N, H))
+    s_mean = q_single + jnp.einsum("na,nah->nh", s_cand, onehot)
     recon = (jnp.dot(q_single, W.T, preferred_element_type=f32)
              + jnp.einsum("ns,nsd->nd", q_multi,
                           jnp.where(ybar > neg_inf / 2, ybar, 0.0)))
@@ -253,15 +251,8 @@ def max_et_posterior(y: jnp.ndarray, W: jnp.ndarray, sigma2,
                                 dtype=f32) * is_single[..., None]
     s_idx = jnp.clip(u - H, 0, S - 1)
     is_multi = u >= H
-    multi_cand_vals = sa.states[s_idx]
-    NL = N * top_L
-    flat_rows = jnp.repeat(jnp.arange(N, dtype=jnp.int32), top_L)
-    base = (jnp.arange(NL, dtype=jnp.int32)[:, None] * H + cand[flat_rows])
-    multi_vec = (jnp.zeros((NL * H,), f32)
-                 .at[base.reshape(-1)]
-                 .add((multi_cand_vals * is_multi[..., None])
-                      .reshape(NL, Hp).reshape(-1))
-                 .reshape(N, top_L, H))
+    multi_cand_vals = sa.states[s_idx] * is_multi[..., None]
+    multi_vec = jnp.einsum("nla,nah->nlh", multi_cand_vals, onehot)
     return {"top_states": single_vec + multi_vec, "top_probs": top_q,
             "s_mean": s_mean, "recon": recon, "F": F}
 
