@@ -118,11 +118,15 @@ class GSC(ETModel):
         beta = sched["beta"] if sched else jnp.float32(1.0)
         prior_beta = sched["prior_beta"] if sched else jnp.float32(1.0)
         y = jnp.asarray(data["y"], jnp.float32)
-        return jax.jit(
-            lambda y_, p: gsc_posterior(
-                y_, p["W"], p["sigma"] ** 2, p["pi"], p["mu"], p["psi"],
-                self.sa, self.Hprime, top_L, beta, prior_beta)
-        )(y, params)
+        key = ("gsc", top_L)
+        cache = getattr(self, "_infer_cache", None) or {}
+        if key not in cache:
+            cache[key] = jax.jit(
+                lambda y_, p, b, pb: gsc_posterior(
+                    y_, p["W"], p["sigma"] ** 2, p["pi"], p["mu"], p["psi"],
+                    self.sa, self.Hprime, top_L, b, pb))
+            self._infer_cache = cache
+        return cache[key](y, params, beta, prior_beta)
 
     # -- generation -----------------------------------------------------------
 

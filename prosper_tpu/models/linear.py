@@ -181,12 +181,17 @@ class LinearETModel(ETModel):
         beta = sched["beta"] if sched else jnp.float32(1.0)
         prior_beta = sched["prior_beta"] if sched else jnp.float32(1.0)
         y = jnp.asarray(data["y"], jnp.float32)
-        out = jax.jit(
-            lambda y_, p: linear_et_posterior(
-                y_, p["W"], p["sigma"] ** 2, self.log_odds(p), self.sa,
-                self.Hprime, self.signed_select, top_L, beta, prior_beta)
-        )(y, params)
-        return out
+        # cache the jitted decoder per top_L (a fresh lambda per call would
+        # recompile on every serve request)
+        key = ("linear", top_L)
+        cache = getattr(self, "_infer_cache", None) or {}
+        if key not in cache:
+            cache[key] = jax.jit(
+                lambda y_, p, b, pb: linear_et_posterior(
+                    y_, p["W"], p["sigma"] ** 2, self.log_odds(p), self.sa,
+                    self.Hprime, self.signed_select, top_L, b, pb))
+            self._infer_cache = cache
+        return cache[key](y, params, beta, prior_beta)
 
 
 class BSC(LinearETModel):

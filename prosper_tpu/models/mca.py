@@ -130,11 +130,15 @@ class MCA(ETModel):
         beta = sched["beta"] if sched else jnp.float32(1.0)
         prior_beta = sched["prior_beta"] if sched else jnp.float32(1.0)
         y = jnp.asarray(data["y"], jnp.float32)
-        return jax.jit(
-            lambda y_, p: max_et_posterior(
-                y_, p["W"], p["sigma"] ** 2, self._log_odds(p), self.sa,
-                self.Hprime, self.magnitude, top_L, beta, prior_beta)
-        )(y, params)
+        key = ("max", top_L)
+        cache = getattr(self, "_infer_cache", None) or {}
+        if key not in cache:
+            cache[key] = jax.jit(
+                lambda y_, p, b, pb: max_et_posterior(
+                    y_, p["W"], p["sigma"] ** 2, self._log_odds(p), self.sa,
+                    self.Hprime, self.magnitude, top_L, b, pb))
+            self._infer_cache = cache
+        return cache[key](y, params, beta, prior_beta)
 
 
 class MMCA(MCA):
