@@ -312,7 +312,36 @@ def linear_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
 def linear_et_posterior(y: jnp.ndarray, W: jnp.ndarray, sigma2,
                         log_odds: jnp.ndarray, sa: LinearStateArrays,
                         Hp: int, signed_select: bool, top_L: int = 10,
-                        beta=1.0, prior_beta=1.0) -> Dict[str, jnp.ndarray]:
+                        beta=1.0, prior_beta=1.0,
+                        chunk: int = 4096) -> Dict[str, jnp.ndarray]:
+    """Chunked wrapper over _linear_et_posterior_chunk — bounds the decode's
+    intermediates (the (N,Hp,H) one-hot alone is >1GB at serving scale).
+    N that is not a chunk multiple is zero-padded and the outputs sliced;
+    the (H,H) Gram is computed once, outside the chunk loop."""
+    N = y.shape[0]
+    gram = jnp.dot(W.T, W, preferred_element_type=jnp.float32)
+    gram_diag = jnp.diagonal(gram)
+    if N <= chunk:
+        return _linear_et_posterior_chunk(
+            y, W, gram, gram_diag, sigma2, log_odds, sa, Hp, signed_select,
+            top_L, beta, prior_beta)
+    N_pad = -(-N // chunk) * chunk
+    y_pad = jnp.pad(y, ((0, N_pad - N), (0, 0))) if N_pad != N else y
+    yc = y_pad.reshape(N_pad // chunk, chunk, y.shape[1])
+    out = jax.lax.map(
+        lambda y_i: _linear_et_posterior_chunk(
+            y_i, W, gram, gram_diag, sigma2, log_odds, sa, Hp, signed_select,
+            top_L, beta, prior_beta), yc)
+    return {k: v.reshape((N_pad,) + v.shape[2:])[:N] for k, v in out.items()}
+
+
+def _linear_et_posterior_chunk(y: jnp.ndarray, W: jnp.ndarray,
+                               gram: jnp.ndarray, gram_diag: jnp.ndarray,
+                               sigma2, log_odds: jnp.ndarray,
+                               sa: LinearStateArrays,
+                               Hp: int, signed_select: bool, top_L: int = 10,
+                               beta=1.0, prior_beta=1.0
+                               ) -> Dict[str, jnp.ndarray]:
     """Posterior decode for held-out data (reference: CAModel.inference,
     SURVEY.md §3.3): per datapoint the top-L truncated states sorted by
     posterior probability, the posterior mean <s>, the reconstruction
@@ -333,8 +362,6 @@ def linear_et_posterior(y: jnp.ndarray, W: jnp.ndarray, sigma2,
     beta = jnp.asarray(beta, f32)
     prior_beta = jnp.asarray(prior_beta, f32)
 
-    gram = jnp.dot(W.T, W, preferred_element_type=f32)
-    gram_diag = jnp.diagonal(gram)
     inv2s2 = 0.5 / sigma2
     P = jnp.dot(y, W, preferred_element_type=f32)
     w_norm = jnp.sqrt(jnp.maximum(gram_diag, 1e-30))
