@@ -182,14 +182,16 @@ class LinearETModel(ETModel):
         prior_beta = sched["prior_beta"] if sched else jnp.float32(1.0)
         y = jnp.asarray(data["y"], jnp.float32)
         # cache the jitted decoder per top_L (a fresh lambda per call would
-        # recompile on every serve request)
-        key = ("linear", top_L)
+        # recompile on every serve request); the model's chunk setting bounds
+        # the decode intermediates just like the training E-step
+        key = ("linear", top_L, self.chunk)
         cache = getattr(self, "_infer_cache", None) or {}
         if key not in cache:
             cache[key] = jax.jit(
                 lambda y_, p, b, pb: linear_et_posterior(
                     y_, p["W"], p["sigma"] ** 2, self.log_odds(p), self.sa,
-                    self.Hprime, self.signed_select, top_L, b, pb))
+                    self.Hprime, self.signed_select, top_L, b, pb,
+                    chunk=self.chunk))
             self._infer_cache = cache
         return cache[key](y, params, beta, prior_beta)
 

@@ -96,3 +96,24 @@ def test_inference_gsc_support_recovery():
     sz = np.asarray(out["s_mean"])
     err = np.abs(sz[ok] - s_true[ok]).max(axis=1)
     assert np.median(err) < 0.5
+
+
+def test_chunked_decode_matches_unchunked():
+    """Chunked lax.map decode (incl. non-multiple padding) must equal the
+    single-pass result elementwise."""
+    import jax.numpy as jnp
+    from prosper_tpu.core.etstep import linear_et_posterior, state_arrays_from
+    from prosper_tpu.core.states import discrete_state_space
+
+    N, D, H, Hp, gamma = 100, 12, 10, 5, 3     # 100 % 32 != 0 -> padding path
+    rng = np.random.default_rng(6)
+    y = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    W = jnp.asarray(rng.standard_normal((D, H)), jnp.float32)
+    sa = state_arrays_from(discrete_state_space(Hp, gamma, [1.0]))
+    lo = jnp.asarray([-1.5], jnp.float32)
+    args = (y, W, jnp.float32(1.2), lo, sa, Hp, False, 5)
+    full = linear_et_posterior(*args, chunk=4096)
+    parts = linear_et_posterior(*args, chunk=32)
+    for k in full:
+        np.testing.assert_allclose(np.asarray(parts[k]), np.asarray(full[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
