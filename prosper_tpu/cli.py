@@ -99,6 +99,11 @@ def _load_data(cfg: Dict, model, args) -> Dict[str, np.ndarray]:
 
 
 def cmd_train(args) -> int:
+    if getattr(args, "multihost", False):
+        # must run before anything touches a JAX backend
+        from prosper_tpu.parallel.mesh import init_multihost
+        init_multihost()
+
     from prosper_tpu.engine.em import EM
     from prosper_tpu.io.datalog import DataLog, StoreToH5, StoreToJSONL
     from prosper_tpu.parallel.mesh import MeshRuntime, pprint
@@ -139,6 +144,8 @@ def cmd_train(args) -> int:
         import jax
         n = int(args.mesh.split("=")[1])
         runtime = MeshRuntime(devices=jax.devices()[:n])
+    elif args.multihost:
+        runtime = MeshRuntime()
         # static-shape padding so the shard divides evenly (valid=0 rows)
         from prosper_tpu.data.patches import pad_for_mesh
         y = np.asarray(data["y"])
@@ -148,7 +155,9 @@ def cmd_train(args) -> int:
 
     em = EM(model, anneal, data, params=params,
             seed=int(cfg.get("seed", 42)), runtime=runtime, dlog=dlog,
-            log_params_every=int(cfg.get("log_params_every", 1)))
+            log_params_every=int(cfg.get("log_params_every", 1)),
+            checkpoint_path=ckpt_path,
+            checkpoint_every=int(cfg.get("checkpoint_every", 25)))
     if args.scan:
         params = em.run_scanned()
     else:
@@ -214,6 +223,9 @@ def main(argv=None) -> int:
                     help="run all iterations inside one jit (lax.scan)")
     pt.add_argument("--backend", choices=("xla", "pallas"), default=None,
                     help="E-step backend for linear models")
+    pt.add_argument("--multihost", action="store_true",
+                    help="initialise jax.distributed (run one process per "
+                         "host) and mesh over all global devices")
     pt.set_defaults(fn=cmd_train)
 
     pi = sub.add_parser("infer", help="posterior decode with trained params")

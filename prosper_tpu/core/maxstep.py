@@ -182,7 +182,28 @@ def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
 def max_et_posterior(y: jnp.ndarray, W: jnp.ndarray, sigma2,
                      log_odds_scalar, sa: LinearStateArrays, Hp: int,
                      magnitude: bool, top_L: int = 10,
-                     beta=1.0, prior_beta=1.0) -> Dict[str, jnp.ndarray]:
+                     beta=1.0, prior_beta=1.0,
+                     chunk: int = 256) -> Dict[str, jnp.ndarray]:
+    """Chunked posterior decode for max models — the (chunk, S, D)
+    reconstruction tile must stay bounded exactly as in training."""
+    N = y.shape[0]
+    if N <= chunk:
+        return _max_et_posterior_chunk(y, W, sigma2, log_odds_scalar, sa,
+                                       Hp, magnitude, top_L, beta, prior_beta)
+    N_pad = -(-N // chunk) * chunk
+    y_pad = jnp.pad(y, ((0, N_pad - N), (0, 0))) if N_pad != N else y
+    yc = y_pad.reshape(N_pad // chunk, chunk, y.shape[1])
+    out = jax.lax.map(
+        lambda y_i: _max_et_posterior_chunk(
+            y_i, W, sigma2, log_odds_scalar, sa, Hp, magnitude, top_L,
+            beta, prior_beta), yc)
+    return {k: v.reshape((N_pad,) + v.shape[2:])[:N] for k, v in out.items()}
+
+
+def _max_et_posterior_chunk(y: jnp.ndarray, W: jnp.ndarray, sigma2,
+                            log_odds_scalar, sa: LinearStateArrays, Hp: int,
+                            magnitude: bool, top_L: int = 10,
+                            beta=1.0, prior_beta=1.0) -> Dict[str, jnp.ndarray]:
     """Posterior decode for max models (reference: inference, SURVEY §3.3).
 
     Returns top_states/top_probs (full-H binary vectors over the truncated

@@ -118,8 +118,7 @@ class LinearAnnealing:
         suitable for passing into a jitted step without recompilation."""
         out = {}
         for name in self._specs:
-            v = self[name]
-            out[name] = float(v) if not isinstance(v, bool) else float(v)
+            out[name] = float(self[name])
         out["beta"] = 1.0 / max(out.get("T", 1.0), 1e-6)
         out["step"] = float(self.position)
         out["max_step"] = float(self.steps)

@@ -44,12 +44,18 @@ class EM:
 
     def __init__(self, model, anneal, data: Dict, params: Optional[Dict] = None,
                  runtime=None, dlog=None, seed: int = 42,
-                 log_params_every: int = 1):
+                 log_params_every: int = 1,
+                 checkpoint_path: Optional[str] = None,
+                 checkpoint_every: int = 0):
         self.model = model
         self.anneal = anneal
         self.runtime = runtime
         self.dlog = dlog
         self.log_params_every = log_params_every
+        #: periodic failure-recovery checkpoints (SURVEY.md §5.3): every k
+        #: iterations the params are written so --resume restarts mid-run
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = checkpoint_every
         self.rng = jax.random.PRNGKey(seed)
 
         if "F_prev" not in data:
@@ -91,6 +97,18 @@ class EM:
         remaining = self.anneal.steps - self.anneal.position
         k = remaining if n_steps is None else min(n_steps, remaining)
         if k <= 0:
+            return self.params
+
+        # periodic failure-recovery checkpoints: split the scan into
+        # checkpoint_every-sized segments (at most two distinct scan lengths
+        # compile: the segment size and the tail)
+        if (self.checkpoint_path and self.checkpoint_every
+                and k > self.checkpoint_every):
+            done = 0
+            while done < k:
+                seg = min(self.checkpoint_every, k - done)
+                self.run_scanned(seg)
+                done += seg
             return self.params
 
         # per-iteration schedule arrays (pure host floats -> ONE device
@@ -136,6 +154,10 @@ class EM:
             if self.dlog is not None:
                 self.dlog.append_all(rec)
             self.anneal.next()
+        if self.checkpoint_path and self.checkpoint_every:
+            from prosper_tpu.io import checkpoint
+            checkpoint.save(self.checkpoint_path, self.params,
+                            step=self.anneal.position, rng=self.rng)
         return self.params
 
     def step_once(self, verbose: bool = False) -> Dict:
@@ -170,4 +192,12 @@ class EM:
                    f"T={scalars['T']:.2f} dt={scalars['dt']*1e3:.1f}ms")
 
         self.anneal.next()
+        self._maybe_checkpoint()
         return scalars
+
+    def _maybe_checkpoint(self) -> None:
+        if (self.checkpoint_path and self.checkpoint_every
+                and self.anneal.position % self.checkpoint_every == 0):
+            from prosper_tpu.io import checkpoint
+            checkpoint.save(self.checkpoint_path, self.params,
+                            step=self.anneal.position, rng=self.rng)

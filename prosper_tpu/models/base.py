@@ -106,6 +106,34 @@ class ETModel:
     def _extra_init(self, y: np.ndarray, rng) -> Dict:
         return {}
 
+    # -- parameter-noise annealing (reference: CAModel.noisify_params) --------
+
+    def noisify(self, params: Dict, sched: Dict, rng) -> Dict:
+        """Add scheduled jitter to W/pi/sigma (+ mu when present)."""
+        kW, kp, ks, km = jax.random.split(rng, 4)
+        p = dict(params)
+        p["W"] = params["W"] + sched["W_noise"] * jax.random.normal(
+            kW, params["W"].shape, jnp.float32)
+        pi_noise = sched["pi_noise"] * jax.random.normal(
+            kp, jnp.shape(params["pi"]))
+        p["pi"] = jnp.clip(params["pi"] + pi_noise, 1e-6, 1.0 - 1e-6)
+        p["sigma"] = jnp.clip(
+            params["sigma"] + sched["sigma_noise"] * jax.random.normal(ks),
+            1e-5, None)
+        if "mu" in params:
+            p["mu"] = params["mu"] + sched["mu_noise"] * jax.random.normal(km)
+        return p
+
+    # -- shared jitted-decoder cache (the serving path) -----------------------
+
+    def _cached_infer(self, key, builder, y, params, beta, prior_beta):
+        """jit the posterior decoder once per (family, top_L, chunk) — a
+        fresh lambda per call would recompile on every serve request."""
+        cache = self.__dict__.setdefault("_infer_cache", {})
+        if key not in cache:
+            cache[key] = jax.jit(builder)
+        return cache[key](y, params, beta, prior_beta)
+
     # -- shared ET data-selection masks ---------------------------------------
 
     def et_weight_mask(self, log_pi_active, data, sched, rng_partial,

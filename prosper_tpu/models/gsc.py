@@ -40,20 +40,6 @@ class GSC(ETModel):
     def _extra_init(self, y, rng):
         return {"mu": jnp.float32(0.0), "psi": jnp.float32(1.0)}
 
-    def noisify(self, params, sched, rng):
-        kW, kp, ks, km = jax.random.split(rng, 4)
-        p = dict(params)
-        p["W"] = params["W"] + sched["W_noise"] * jax.random.normal(
-            kW, params["W"].shape, jnp.float32)
-        p["pi"] = jnp.clip(
-            params["pi"] + sched["pi_noise"] * jax.random.normal(kp),
-            1e-6, 1.0 - 1e-6)
-        p["sigma"] = jnp.clip(
-            params["sigma"] + sched["sigma_noise"] * jax.random.normal(ks),
-            1e-5, None)
-        p["mu"] = params["mu"] + sched["mu_noise"] * jax.random.normal(km)
-        return p
-
     def step_fn(self, params, data, sched, rng, axis_name: Optional[str] = None):
         y = data["y"]
         valid = data["valid"]
@@ -118,15 +104,12 @@ class GSC(ETModel):
         beta = sched["beta"] if sched else jnp.float32(1.0)
         prior_beta = sched["prior_beta"] if sched else jnp.float32(1.0)
         y = jnp.asarray(data["y"], jnp.float32)
-        key = ("gsc", top_L)
-        cache = getattr(self, "_infer_cache", None) or {}
-        if key not in cache:
-            cache[key] = jax.jit(
-                lambda y_, p, b, pb: gsc_posterior(
-                    y_, p["W"], p["sigma"] ** 2, p["pi"], p["mu"], p["psi"],
-                    self.sa, self.Hprime, top_L, b, pb))
-            self._infer_cache = cache
-        return cache[key](y, params, beta, prior_beta)
+        return self._cached_infer(
+            ("gsc", top_L, self.chunk),
+            lambda y_, p, b, pb: gsc_posterior(
+                y_, p["W"], p["sigma"] ** 2, p["pi"], p["mu"], p["psi"],
+                self.sa, self.Hprime, top_L, b, pb, chunk=self.chunk),
+            y, params, beta, prior_beta)
 
     # -- generation -----------------------------------------------------------
 

@@ -70,20 +70,6 @@ class LinearETModel(ETModel):
     def update_prior(self, params, sums, n_used, logA, logB) -> Dict:
         raise NotImplementedError
 
-    # -- noisify (reference: CAModel.noisify_params) --------------------------
-
-    def noisify(self, params, sched, rng):
-        kW, kp, ks = jax.random.split(rng, 3)
-        p = dict(params)
-        p["W"] = params["W"] + sched["W_noise"] * jax.random.normal(
-            kW, params["W"].shape, jnp.float32)
-        pi_noise = sched["pi_noise"] * jax.random.normal(kp, jnp.shape(params["pi"]))
-        p["pi"] = jnp.clip(params["pi"] + pi_noise, 1e-6, 1.0 - 1e-6)
-        p["sigma"] = jnp.clip(
-            params["sigma"] + sched["sigma_noise"] * jax.random.normal(ks),
-            1e-5, None)
-        return p
-
     # -- the fused EM step ----------------------------------------------------
 
     def step_fn(self, params, data, sched, rng, axis_name: Optional[str] = None,
@@ -181,19 +167,13 @@ class LinearETModel(ETModel):
         beta = sched["beta"] if sched else jnp.float32(1.0)
         prior_beta = sched["prior_beta"] if sched else jnp.float32(1.0)
         y = jnp.asarray(data["y"], jnp.float32)
-        # cache the jitted decoder per top_L (a fresh lambda per call would
-        # recompile on every serve request); the model's chunk setting bounds
-        # the decode intermediates just like the training E-step
-        key = ("linear", top_L, self.chunk)
-        cache = getattr(self, "_infer_cache", None) or {}
-        if key not in cache:
-            cache[key] = jax.jit(
-                lambda y_, p, b, pb: linear_et_posterior(
-                    y_, p["W"], p["sigma"] ** 2, self.log_odds(p), self.sa,
-                    self.Hprime, self.signed_select, top_L, b, pb,
-                    chunk=self.chunk))
-            self._infer_cache = cache
-        return cache[key](y, params, beta, prior_beta)
+        return self._cached_infer(
+            ("linear", top_L, self.chunk),
+            lambda y_, p, b, pb: linear_et_posterior(
+                y_, p["W"], p["sigma"] ** 2, self.log_odds(p), self.sa,
+                self.Hprime, self.signed_select, top_L, b, pb,
+                chunk=self.chunk),
+            y, params, beta, prior_beta)
 
 
 class BSC(LinearETModel):

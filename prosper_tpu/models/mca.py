@@ -44,19 +44,6 @@ class MCA(ETModel):
         pi = params["pi"]
         return jnp.log(pi) - jnp.log1p(-pi)
 
-    def noisify(self, params, sched, rng):
-        kW, kp, ks = jax.random.split(rng, 3)
-        p = dict(params)
-        p["W"] = params["W"] + sched["W_noise"] * jax.random.normal(
-            kW, params["W"].shape, jnp.float32)
-        p["pi"] = jnp.clip(
-            params["pi"] + sched["pi_noise"] * jax.random.normal(kp),
-            1e-6, 1.0 - 1e-6)
-        p["sigma"] = jnp.clip(
-            params["sigma"] + sched["sigma_noise"] * jax.random.normal(ks),
-            1e-5, None)
-        return p
-
     # -- fused EM step --------------------------------------------------------
 
     def step_fn(self, params, data, sched, rng, axis_name: Optional[str] = None):
@@ -130,15 +117,13 @@ class MCA(ETModel):
         beta = sched["beta"] if sched else jnp.float32(1.0)
         prior_beta = sched["prior_beta"] if sched else jnp.float32(1.0)
         y = jnp.asarray(data["y"], jnp.float32)
-        key = ("max", top_L)
-        cache = getattr(self, "_infer_cache", None) or {}
-        if key not in cache:
-            cache[key] = jax.jit(
-                lambda y_, p, b, pb: max_et_posterior(
-                    y_, p["W"], p["sigma"] ** 2, self._log_odds(p), self.sa,
-                    self.Hprime, self.magnitude, top_L, b, pb))
-            self._infer_cache = cache
-        return cache[key](y, params, beta, prior_beta)
+        return self._cached_infer(
+            ("max", top_L, self.chunk),
+            lambda y_, p, b, pb: max_et_posterior(
+                y_, p["W"], p["sigma"] ** 2, self._log_odds(p), self.sa,
+                self.Hprime, self.magnitude, top_L, b, pb,
+                chunk=self.chunk),
+            y, params, beta, prior_beta)
 
 
 class MMCA(MCA):

@@ -57,7 +57,10 @@ class MixtureModel:
 
         if axis_name is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
-        weight = exact_count_mask(rng, N, sched["partial"]) * valid
+        weight = jax.lax.cond(
+            sched["partial"] >= 1.0,
+            lambda: valid,
+            lambda: exact_count_mask(rng, N, sched["partial"]) * valid)
 
         log_pi = jnp.log(jnp.maximum(params["pi"], 1e-12))
         ll = self.component_loglik(params, y)                        # (N,K)

@@ -77,18 +77,24 @@ def init_multihost(coordinator_address: Optional[str] = None,
 
     Thin wrapper over ``jax.distributed.initialize`` — on cloud TPU pods
     all arguments are auto-detected; on other clusters pass them
-    explicitly.  Call before constructing a MeshRuntime.  Safe to call in
-    single-process runs (no-ops if already initialised or nothing to do).
+    explicitly.  MUST be called before anything touches a JAX backend
+    (importantly: before ``jax.devices()`` / ``jax.process_count()`` /
+    any jnp op — initialising a backend first makes distributed setup
+    impossible).  Explicitly-requested multi-host setups fail loudly;
+    only the auto-detect single-process case degrades silently.
     """
-    if jax.process_count() > 1:
-        return
+    explicit = coordinator_address is not None or num_processes is not None
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except (ValueError, RuntimeError):
-        # single-process / no coordinator configured: run locally
-        pass
+    except (ValueError, RuntimeError) as e:
+        if explicit:
+            raise RuntimeError(
+                "multi-host initialisation failed — note that "
+                "jax.distributed.initialize must run before any JAX backend "
+                f"is touched: {e}") from e
+        # auto-detect found no cluster: single-process run
 
 
 def replication_error(tree, axis_name: str):
@@ -174,11 +180,17 @@ class MeshRuntime:
         sequence-parallel analogue (ring-attention-style online-logsumexp
         combine over ICI).
         """
+        import inspect
         axis = self.data_axis
         kw = {"axis_name": axis}
         if "state" in self.axis_names and self.mesh.shape["state"] > 1:
-            kw["state_axis"] = "state"
-            kw["n_state_shards"] = self.mesh.shape["state"]
+            # only models whose step supports state sharding get the kwargs;
+            # others run state-replicated (each state-shard redundantly
+            # computes the same psum'd result — correct, just not faster)
+            sig = inspect.signature(step_fn)
+            if "state_axis" in sig.parameters:
+                kw["state_axis"] = "state"
+                kw["n_state_shards"] = self.mesh.shape["state"]
         fn = partial(step_fn, **kw)
         in_specs = (P(), P(axis), P(), P())
         out_specs = (P(), P(axis), P())

@@ -94,3 +94,21 @@ def test_cli_resume_and_scan(tiny_config, tmp_path):
     rc = cli.main(["train", tiny_config, "-o", out, "-q", "--resume"])
     assert rc == 0
     assert os.path.exists(os.path.join(out, "checkpoint.h5"))
+
+
+def test_periodic_checkpoint_enables_mid_run_resume(tiny_config, tmp_path):
+    """A killed run leaves a usable checkpoint (review finding: the
+    failure-recovery path was dead without periodic checkpointing)."""
+    from prosper_tpu.engine.em import EM
+    from prosper_tpu.io import checkpoint as ckpt
+    cfg = cli.load_config(tiny_config)
+    model, anneal = cfg["model"], cfg["anneal"]
+    data = model.generate_data(cfg["gt_params"], cfg["N"], seed=1)
+    path = str(tmp_path / "c.h5")
+    em = EM(model, anneal, {"y": data["y"]}, seed=2,
+            checkpoint_path=path, checkpoint_every=4)
+    for _ in range(6):     # simulate dying mid-run after 6 of 15 iterations
+        em.step_once()
+    params, step, rng = ckpt.restore(path)
+    assert step == 4        # last periodic checkpoint
+    assert params["W"].shape == (16, 8)

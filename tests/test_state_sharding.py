@@ -54,3 +54,21 @@ def test_state_shard_count_not_dividing_S():
     p2 = em2.run()
     np.testing.assert_allclose(np.asarray(p1["W"]), np.asarray(p2["W"]),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_state_mesh_with_non_state_model():
+    """Models without state-sharding support run state-replicated on a
+    ('data','state') mesh instead of raising TypeError (review finding)."""
+    from prosper_tpu.models.mca import MCA
+    from prosper_tpu.engine.em import EM
+
+    model = MCA(16, 8, 5, 3, chunk=64)
+    gt = bars_gt_params(model, intensity=10.0, sigma=1.0)
+    data = model.generate_data(gt, 128, seed=4)
+    em1 = EM(model, LinearAnnealing(3), {"y": data["y"]}, seed=1)
+    p1 = em1.run()
+    rt = MeshRuntime(mesh_shape=(4, 2), axis_names=("data", "state"))
+    em2 = EM(model, LinearAnnealing(3), {"y": data["y"]}, seed=1, runtime=rt)
+    p2 = em2.run()
+    np.testing.assert_allclose(np.asarray(p1["W"]), np.asarray(p2["W"]),
+                               rtol=2e-3, atol=2e-3)
