@@ -112,3 +112,20 @@ def test_periodic_checkpoint_enables_mid_run_resume(tiny_config, tmp_path):
     params, step, rng = ckpt.restore(path)
     assert step == 4        # last periodic checkpoint
     assert params["W"].shape == (16, 8)
+
+
+def test_all_example_configs_load():
+    """Every shipped example config must parse and build model+anneal
+    (guards against example bitrot)."""
+    import glob
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples")
+    configs = glob.glob(os.path.join(root, "**", "param_*.py"),
+                        recursive=True) + glob.glob(
+        os.path.join(root, "*.toml"))
+    assert len(configs) >= 7
+    for path in configs:
+        cfg = cli.load_config(path)
+        assert "model" in cfg and "anneal" in cfg, path
+        assert hasattr(cfg["model"], "step_fn"), path
+        assert not cfg["anneal"].finished, path
