@@ -73,7 +73,7 @@ def _build_from_decl(cfg: Dict) -> Dict[str, Any]:
     out["anneal"] = anneal
 
     for k in ("data_h5", "data_dataset", "output", "seed", "N",
-              "log_params_every", "gt_params"):
+              "log_params_every", "gt_params", "checkpoint_every"):
         if k in cfg:
             out[k] = cfg[k]
     return out
@@ -137,7 +137,8 @@ def cmd_train(args) -> int:
     dlog = DataLog()
     mode = "a" if (args.resume and params is not None) else "w"
     dlog.set_handler(None, StoreToH5, os.path.join(out_dir, "result.h5"), mode)
-    dlog.set_handler(None, StoreToJSONL, os.path.join(out_dir, "metrics.jsonl"))
+    dlog.set_handler(None, StoreToJSONL,
+                     os.path.join(out_dir, "metrics.jsonl"), mode)
 
     runtime = None
     if args.mesh:
@@ -146,12 +147,20 @@ def cmd_train(args) -> int:
         runtime = MeshRuntime(devices=jax.devices()[:n])
     elif args.multihost:
         runtime = MeshRuntime()
-        # static-shape padding so the shard divides evenly (valid=0 rows)
-        from prosper_tpu.data.patches import pad_for_mesh
-        y = np.asarray(data["y"])
-        per_shard = -(-y.shape[0] // runtime.n_data_shards)
-        c = model.chunk if per_shard > model.chunk else 1
-        data = pad_for_mesh(y, runtime.n_data_shards, c)
+
+    # static-shape padding on EVERY path (valid=0 rows): the E-step requires
+    # the per-shard size to divide the chunk, and the mesh requires N to
+    # divide the shard count
+    from prosper_tpu.data.patches import pad_for_mesh
+    y = np.asarray(data["y"])
+    shards = runtime.n_data_shards if runtime is not None else 1
+    per_shard = -(-y.shape[0] // shards)
+    c = model.chunk if per_shard > model.chunk else 1
+    padded = pad_for_mesh(y, shards, c)
+    if "valid" in data:
+        v = np.asarray(data["valid"])
+        padded["valid"][:v.shape[0]] = v
+    data = padded
 
     em = EM(model, anneal, data, params=params,
             seed=int(cfg.get("seed", 42)), runtime=runtime, dlog=dlog,

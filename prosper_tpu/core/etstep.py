@@ -309,30 +309,34 @@ def linear_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
     return F.reshape(N), sums
 
 
+def chunked_decode(fn, y: jnp.ndarray, chunk: int) -> Dict[str, jnp.ndarray]:
+    """Shared serving-decode chunker: run ``fn(chunk_of_y) -> dict`` over
+    row-chunks with zero padding to the chunk boundary and slice the outputs
+    back to N (bounds per-chunk intermediates at any batch size)."""
+    N = y.shape[0]
+    if N <= chunk:
+        return fn(y)
+    N_pad = -(-N // chunk) * chunk
+    y_pad = jnp.pad(y, ((0, N_pad - N), (0, 0))) if N_pad != N else y
+    yc = y_pad.reshape(N_pad // chunk, chunk, y.shape[1])
+    out = jax.lax.map(fn, yc)
+    return {k: v.reshape((N_pad,) + v.shape[2:])[:N] for k, v in out.items()}
+
+
 def linear_et_posterior(y: jnp.ndarray, W: jnp.ndarray, sigma2,
                         log_odds: jnp.ndarray, sa: LinearStateArrays,
                         Hp: int, signed_select: bool, top_L: int = 10,
                         beta=1.0, prior_beta=1.0,
                         chunk: int = 4096) -> Dict[str, jnp.ndarray]:
-    """Chunked wrapper over _linear_et_posterior_chunk — bounds the decode's
-    intermediates (the (N,Hp,H) one-hot alone is >1GB at serving scale).
-    N that is not a chunk multiple is zero-padded and the outputs sliced;
-    the (H,H) Gram is computed once, outside the chunk loop."""
-    N = y.shape[0]
+    """Chunked posterior decode — bounds the decode's intermediates (the
+    (N,Hp,H) one-hot alone is >1GB at serving scale); the (H,H) Gram is
+    computed once, outside the chunk loop."""
     gram = jnp.dot(W.T, W, preferred_element_type=jnp.float32)
     gram_diag = jnp.diagonal(gram)
-    if N <= chunk:
-        return _linear_et_posterior_chunk(
-            y, W, gram, gram_diag, sigma2, log_odds, sa, Hp, signed_select,
-            top_L, beta, prior_beta)
-    N_pad = -(-N // chunk) * chunk
-    y_pad = jnp.pad(y, ((0, N_pad - N), (0, 0))) if N_pad != N else y
-    yc = y_pad.reshape(N_pad // chunk, chunk, y.shape[1])
-    out = jax.lax.map(
+    return chunked_decode(
         lambda y_i: _linear_et_posterior_chunk(
             y_i, W, gram, gram_diag, sigma2, log_odds, sa, Hp, signed_select,
-            top_L, beta, prior_beta), yc)
-    return {k: v.reshape((N_pad,) + v.shape[2:])[:N] for k, v in out.items()}
+            top_L, beta, prior_beta), y, chunk)
 
 
 def _linear_et_posterior_chunk(y: jnp.ndarray, W: jnp.ndarray,

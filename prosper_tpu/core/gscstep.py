@@ -235,18 +235,11 @@ def gsc_posterior(y: jnp.ndarray, W: jnp.ndarray, sigma2, pi, mu, psi,
                   chunk: int = 1024) -> Dict[str, jnp.ndarray]:
     """Chunked posterior decode for GSC — bounds the (chunk,S,Hp,Hp)
     per-support linalg tiles at serving scale."""
-    N = y.shape[0]
-    if N <= chunk:
-        return _gsc_posterior_chunk(y, W, sigma2, pi, mu, psi, sa, Hp,
-                                    top_L, beta, prior_beta)
-    N_pad = -(-N // chunk) * chunk
-    y_pad = jnp.pad(y, ((0, N_pad - N), (0, 0))) if N_pad != N else y
-    yc = y_pad.reshape(N_pad // chunk, chunk, y.shape[1])
-    out = jax.lax.map(
+    from prosper_tpu.core.etstep import chunked_decode
+    return chunked_decode(
         lambda y_i: _gsc_posterior_chunk(
             y_i, W, sigma2, pi, mu, psi, sa, Hp, top_L, beta, prior_beta),
-        yc)
-    return {k: v.reshape((N_pad,) + v.shape[2:])[:N] for k, v in out.items()}
+        y, chunk)
 
 
 def _gsc_posterior_chunk(y: jnp.ndarray, W: jnp.ndarray, sigma2, pi, mu, psi,

@@ -117,11 +117,10 @@ def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
     sum_abs = jnp.sum(abs_n * wv)
 
     # ---- winner responsibilities for the M-step:
-    #   hard (rho <= 0):  A_ndh = sum_s q_ns [slot h wins dim d in state s]
-    #   soft (rho > 0):   A_ndh = sum_s q_ns K_h^rho / sum_h' K_h'^rho
-    # The soft form is the reference's annealed softened max; ratios are
-    # normalised by the winner value (key_val) so K^rho never overflows and
-    # rho -> inf recovers the hard winner.
+    #   hard (rho <= 0): A_ndh = sum_s q_ns [slot h wins dim d in state s]
+    #   soft (rho > 0):  A_ndh = sum_s q_ns exp(rho (K_h - K_max)) / Z
+    # The soft form is the reference-style annealed softened max (value-
+    # space softmax, sign-safe); rho -> inf recovers the hard winner.
     qa = q_multi * wv[:, None]                                          # (C,S)
 
     def hard_resp():
@@ -133,14 +132,16 @@ def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
         return jax.lax.fori_loop(0, Hp, body, jnp.zeros((C, Hp, D), f32))
 
     def soft_resp():
-        kv = jnp.maximum(jnp.abs(key_val), 1e-20)
-
+        # value-space softened max: A propto exp(rho * (K_h - K_max)) — well
+        # defined for any sign of W (a ratio form K^rho/K_max^rho misbehaves
+        # for negative losers), bounded <= 1, and -> the hard winner as
+        # rho -> inf
         def powers(h):
             vh = jax.lax.dynamic_slice_in_dim(Wc, h, 1, axis=1)
             kh = jnp.abs(vh) if magnitude else vh
             act_h = jax.lax.dynamic_slice_in_dim(act_f, h, 1, axis=1)
-            ratio = jnp.clip(jnp.abs(kh) / kv, 0.0, 1.0)
-            return act_h[None, :, 0, None] * ratio ** rho               # (C,S,D)
+            gap = jnp.minimum(kh - key_val, 0.0)                        # <= 0
+            return act_h[None, :, 0, None] * jnp.exp(rho * gap)         # (C,S,D)
 
         def dbody(h, denom):
             return denom + powers(h)
@@ -186,18 +187,11 @@ def max_et_posterior(y: jnp.ndarray, W: jnp.ndarray, sigma2,
                      chunk: int = 256) -> Dict[str, jnp.ndarray]:
     """Chunked posterior decode for max models — the (chunk, S, D)
     reconstruction tile must stay bounded exactly as in training."""
-    N = y.shape[0]
-    if N <= chunk:
-        return _max_et_posterior_chunk(y, W, sigma2, log_odds_scalar, sa,
-                                       Hp, magnitude, top_L, beta, prior_beta)
-    N_pad = -(-N // chunk) * chunk
-    y_pad = jnp.pad(y, ((0, N_pad - N), (0, 0))) if N_pad != N else y
-    yc = y_pad.reshape(N_pad // chunk, chunk, y.shape[1])
-    out = jax.lax.map(
+    from prosper_tpu.core.etstep import chunked_decode
+    return chunked_decode(
         lambda y_i: _max_et_posterior_chunk(
             y_i, W, sigma2, log_odds_scalar, sa, Hp, magnitude, top_L,
-            beta, prior_beta), yc)
-    return {k: v.reshape((N_pad,) + v.shape[2:])[:N] for k, v in out.items()}
+            beta, prior_beta), y, chunk)
 
 
 def _max_et_posterior_chunk(y: jnp.ndarray, W: jnp.ndarray, sigma2,

@@ -75,20 +75,29 @@ def top_hprime_candidates_dense(P_full: jnp.ndarray, w_norm: jnp.ndarray,
     return cand, onehot
 
 
-def exact_count_mask(rng: jax.Array, N: int, frac) -> jnp.ndarray:
-    """Random {0,1} mask with exactly ceil(frac*N) ones (static shapes).
+def exact_count_mask(rng: jax.Array, N: int, frac,
+                     valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Random {0,1} mask with exactly ceil(frac * n_valid) ones
+    (static shapes).
 
     Equivalent of the reference's random permutation subset in
     ``select_partial_data`` — realised as a threshold on iid uniforms so the
-    kept *count* is exact while shapes stay static.
+    kept *count* is exact while shapes stay static.  With ``valid`` given,
+    only valid rows participate (padding rows never count toward the
+    fraction and are never selected).
     """
     u = jax.random.uniform(rng, (N,))
-    k = jnp.ceil(frac * N).astype(jnp.int32)
+    if valid is not None:
+        u = jnp.where(valid > 0, u, -1.0)    # padding loses every ranking
+        n_valid = jnp.sum(valid)
+    else:
+        n_valid = jnp.float32(N)
+    k = jnp.ceil(frac * n_valid).astype(jnp.int32)
     k = jnp.clip(k, 1, N)
     # threshold = k-th largest uniform -> exactly k survivors
     sorted_u = jnp.sort(u)[::-1]
     thresh = sorted_u[jnp.clip(k - 1, 0, N - 1)]
-    return (u >= thresh).astype(jnp.float32)
+    return ((u >= thresh) & (u >= 0)).astype(jnp.float32)
 
 
 def global_quantile_threshold(values: jnp.ndarray,

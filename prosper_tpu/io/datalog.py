@@ -90,8 +90,8 @@ class StoreToH5(DataHandler):
 
 
 class StoreToJSONL(DataHandler):
-    def __init__(self, path: str):
-        self._f = open(path, "a") if _is_proc0() else None
+    def __init__(self, path: str, mode: str = "w"):
+        self._f = open(path, mode) if _is_proc0() else None
         self._row: Dict = {}
 
     def append(self, name, value):

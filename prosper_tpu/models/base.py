@@ -40,8 +40,11 @@ class ETModel:
                  chunk: int = 2048):
         if not (0 < Hprime <= H):
             raise ValueError(f"need 0 < Hprime <= H, got {Hprime=} {H=}")
-        if not (1 <= gamma <= Hprime):
-            raise ValueError(f"need 1 <= gamma <= Hprime, got {gamma=} {Hprime=}")
+        if not (2 <= gamma <= Hprime):
+            raise ValueError(
+                f"need 2 <= gamma <= Hprime, got {gamma=} {Hprime=} — the "
+                "zero and singleton states are handled analytically, so "
+                "gamma < 2 would leave no enumerated states")
         self.D = int(D)
         self.H = int(H)
         self.Hprime = int(Hprime)
@@ -161,7 +164,8 @@ class ETModel:
         pmask = jax.lax.cond(
             sched["partial"] >= 1.0,
             lambda: valid,
-            lambda: exact_count_mask(rng_partial, N, sched["partial"]) * valid)
+            lambda: exact_count_mask(rng_partial, N, sched["partial"],
+                                     valid=valid))
 
         logA, logB = truncated_prior_logmass(log_pi_active, self.H, self.gamma)
         N_total = maybe_psum(jnp.sum(valid), axis_name)

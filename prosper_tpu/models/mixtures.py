@@ -30,7 +30,8 @@ class MixtureModel:
     def __init__(self, D: int, K: int, to_learn=None, chunk: int = 65536):
         self.D = int(D)
         self.K = int(K)
-        self.to_learn = tuple(to_learn) if to_learn else self.param_names
+        self.to_learn = (tuple(to_learn) if to_learn is not None
+                         else self.param_names)
         self.chunk = int(chunk)
         self._jit_step = None
 
@@ -60,7 +61,7 @@ class MixtureModel:
         weight = jax.lax.cond(
             sched["partial"] >= 1.0,
             lambda: valid,
-            lambda: exact_count_mask(rng, N, sched["partial"]) * valid)
+            lambda: exact_count_mask(rng, N, sched["partial"], valid=valid))
 
         log_pi = jnp.log(jnp.maximum(params["pi"], 1e-12))
         ll = self.component_loglik(params, y)                        # (N,K)
@@ -150,10 +151,12 @@ class MoG(MixtureModel):
     def m_step_components(self, params, sums, n_used):
         out = {}
         rk = jnp.maximum(sums["r"], 1e-8)[:, None]                    # (K,1)
-        mu = sums["ry"] / rk
         if "mu" in self.to_learn:
-            out["mu"] = mu
+            out["mu"] = sums["ry"] / rk
         if "sigma" in self.to_learn:
+            # residuals around the means actually in use (frozen mu must
+            # NOT be replaced by the responsibility-weighted mean)
+            mu = out.get("mu", params["mu"])
             ey2 = jnp.sum(sums["ry2"], axis=1)
             cross = jnp.sum(mu * sums["ry"], axis=1)
             mu2 = jnp.sum(mu * mu, axis=1) * rk[:, 0]
