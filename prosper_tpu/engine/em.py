@@ -46,7 +46,8 @@ class EM:
                  runtime=None, dlog=None, seed: int = 42,
                  log_params_every: int = 1,
                  checkpoint_path: Optional[str] = None,
-                 checkpoint_every: int = 0):
+                 checkpoint_every: int = 0,
+                 revive_duplicates: Optional[tuple] = None):
         self.model = model
         self.anneal = anneal
         self.runtime = runtime
@@ -56,6 +57,17 @@ class EM:
         #: iterations the params are written so --resume restarts mid-run
         self.checkpoint_path = checkpoint_path
         self.checkpoint_every = checkpoint_every
+        #: (every, cosine_threshold, stop_frac) or None — TPU-build addition
+        #: beyond the reference: near-parallel dictionary columns fight over
+        #: the same atom (a local optimum the annealing cannot escape);
+        #: periodically re-initialising the weaker duplicate to a random
+        #: datapoint direction raised planted-dictionary recovery at the
+        #: patches scale from 269/300 to 285/300.  Disabled during the final
+        #: stop_frac of the schedule so convergence is clean.
+        if revive_duplicates is not None and len(revive_duplicates) == 2:
+            revive_duplicates = (*revive_duplicates, 0.75)
+        self.revive_duplicates = revive_duplicates
+        self._revive_rng = np.random.default_rng(seed + 1)
         self.rng = jax.random.PRNGKey(seed)
 
         if "F_prev" not in data:
@@ -193,7 +205,40 @@ class EM:
 
         self.anneal.next()
         self._maybe_checkpoint()
+        self._maybe_revive_duplicates()
         return scalars
+
+    def _maybe_revive_duplicates(self) -> None:
+        cfg = self.revive_duplicates
+        if cfg is None or "W" not in self.params:
+            return
+        every, threshold, stop_frac = cfg
+        pos = self.anneal.position
+        if pos % every != 0 or pos >= stop_frac * self.anneal.steps:
+            return
+        import jax.numpy as jnp
+        W = np.array(jax.device_get(self.params["W"]), copy=True)
+        norms = np.linalg.norm(W, axis=0) + 1e-9
+        C = (W / norms).T @ (W / norms)
+        np.fill_diagonal(C, 0.0)
+        used: set = set()
+        revived = 0
+        y_rows = self.data["y"].shape[0]
+        for h in range(W.shape[1]):
+            j = int(np.argmax(C[h]))
+            if C[h, j] > threshold and h not in used and j not in used:
+                weaker = j if norms[j] <= norms[h] else h
+                idx = int(self._revive_rng.integers(0, y_rows))
+                sample = np.asarray(jax.device_get(self.data["y"][idx]))
+                noise = self._revive_rng.standard_normal(W.shape[0])
+                W[:, weaker] = 0.5 * sample + 0.5 * noise.astype(np.float32)
+                used.update((h, j))
+                revived += 1
+        if revived:
+            new_W = jnp.asarray(W, jnp.float32)
+            if self.runtime is not None:
+                new_W = self.runtime.replicate(new_W)
+            self.params = dict(self.params, W=new_W)
 
     def _maybe_checkpoint(self) -> None:
         if (self.checkpoint_path and self.checkpoint_every

@@ -131,3 +131,31 @@ def test_replication_error_invariant(problem):
     p, F, scal = jax.jit(mapped)(params, d, sched, jax.random.PRNGKey(0))
     # ring all-reduce order differs per participant -> float-eps divergence
     assert float(scal["rep_err"]) < 1e-4
+
+
+def test_revive_duplicates_replaces_weaker_column(problem):
+    """Opt-in duplicate-unit revival: near-parallel columns get the weaker
+    one re-initialised; distinct columns are untouched."""
+    import jax.numpy as jnp
+    from prosper_tpu.engine.em import EM
+    from prosper_tpu.engine.anneal import LinearAnnealing
+
+    model, gt, data = problem
+    em = EM(model, LinearAnnealing(10), {"y": data["y"]}, seed=3,
+            revive_duplicates=(1, 0.95))
+    # random (mutually near-orthogonal) dictionary, then plant ONE duplicate
+    # (standard_init's mean+noise columns are all near-parallel by design,
+    # which would legitimately trigger revival everywhere)
+    rng = np.random.default_rng(0)
+    W = rng.standard_normal(
+        np.asarray(em.params["W"]).shape).astype(np.float32) * 3.0
+    W[:, 1] = 0.999 * W[:, 0]          # plant a near-duplicate (weaker)
+    em.params = dict(em.params, W=jnp.asarray(W, jnp.float32))
+    em.anneal.position = 1             # revival fires on multiples of every
+    em._maybe_revive_duplicates()
+    W2 = np.asarray(jax.device_get(em.params["W"]))
+    c01 = (W2[:, 0] @ W2[:, 1]) / (np.linalg.norm(W2[:, 0])
+                                   * np.linalg.norm(W2[:, 1]) + 1e-9)
+    assert c01 < 0.95                  # duplicate broken
+    np.testing.assert_allclose(W2[:, 0], W[:, 0])   # stronger kept
+    np.testing.assert_allclose(W2[:, 2:], W[:, 2:]) # others untouched
