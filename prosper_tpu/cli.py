@@ -155,7 +155,8 @@ def cmd_train(args) -> int:
     y = np.asarray(data["y"])
     shards = runtime.n_data_shards if runtime is not None else 1
     per_shard = -(-y.shape[0] // shards)
-    c = model.chunk if per_shard > model.chunk else 1
+    needs_chunk = getattr(model, "requires_chunk_multiple", False)
+    c = model.chunk if (needs_chunk and per_shard > model.chunk) else 1
     padded = pad_for_mesh(y, shards, c)
     if "valid" in data:
         v = np.asarray(data["valid"])

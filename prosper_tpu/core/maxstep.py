@@ -9,8 +9,9 @@ and "MMCA-ET" (mmca_et.py) — mount unavailable, behavior-level parity:
 
 with isotropic Gaussian noise and a Bernoulli(pi) prior, and an M-step that
 distributes each observed dimension's responsibility onto its causes: the
-hard winner by default (rho <= 0), or the reference's annealed softened max
-A = K^rho / sum K'^rho when the 'rho' annealing channel is scheduled.
+hard winner by default (rho <= 0), or an annealed softened max
+A propto exp(rho (K_h - K_max)/|K_max|) when the 'rho' annealing channel is
+scheduled (scale-invariant and sign-safe; rho -> inf gives the hard winner).
 
 TPU formulation: unlike the linear family, `max` admits no Gram shortcut, so
 the reconstruction ybar IS materialised per (datapoint, state, dim) — but
@@ -118,9 +119,10 @@ def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
 
     # ---- winner responsibilities for the M-step:
     #   hard (rho <= 0): A_ndh = sum_s q_ns [slot h wins dim d in state s]
-    #   soft (rho > 0):  A_ndh = sum_s q_ns exp(rho (K_h - K_max)) / Z
-    # The soft form is the reference-style annealed softened max (value-
-    # space softmax, sign-safe); rho -> inf recovers the hard winner.
+    #   soft (rho > 0):  A_ndh = sum_s q_ns exp(rho (K_h-K_max)/|K_max|) / Z
+    # The soft form is the reference-style annealed softened max — relative
+    # gaps make the rho schedule scale-invariant (like the W^rho ratio form)
+    # while staying sign-safe; rho -> inf recovers the hard winner.
     qa = q_multi * wv[:, None]                                          # (C,S)
 
     def hard_resp():
@@ -136,11 +138,13 @@ def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
         # defined for any sign of W (a ratio form K^rho/K_max^rho misbehaves
         # for negative losers), bounded <= 1, and -> the hard winner as
         # rho -> inf
+        kv_scale = jnp.maximum(jnp.abs(key_val), 1e-6)   # scale invariance
+
         def powers(h):
             vh = jax.lax.dynamic_slice_in_dim(Wc, h, 1, axis=1)
             kh = jnp.abs(vh) if magnitude else vh
             act_h = jax.lax.dynamic_slice_in_dim(act_f, h, 1, axis=1)
-            gap = jnp.minimum(kh - key_val, 0.0)                        # <= 0
+            gap = jnp.minimum(kh - key_val, 0.0) / kv_scale             # <= 0
             return act_h[None, :, 0, None] * jnp.exp(rho * gap)         # (C,S,D)
 
         def dbody(h, denom):

@@ -64,10 +64,14 @@ class EM:
         #: datapoint direction raised planted-dictionary recovery at the
         #: patches scale from 269/300 to 285/300.  Disabled during the final
         #: stop_frac of the schedule so convergence is clean.
+        #: NOTE: revival RNG draws are not part of the checkpoint state — a
+        #: resumed run's revivals may differ from the uninterrupted run
+        #: (recovery statistics, not bitwise trajectories, are preserved)
         if revive_duplicates is not None and len(revive_duplicates) == 2:
             revive_duplicates = (*revive_duplicates, 0.75)
         self.revive_duplicates = revive_duplicates
         self._revive_rng = np.random.default_rng(seed + 1)
+        self._revive_valid_rows = None
         self.rng = jax.random.PRNGKey(seed)
 
         if "F_prev" not in data:
@@ -103,7 +107,6 @@ class EM:
         available for the final state (use the Python-loop ``run`` when the
         per-iteration W history matters).
         """
-        import jax.numpy as jnp
         from prosper_tpu.models.base import sched_floats
 
         remaining = self.anneal.steps - self.anneal.position
@@ -111,14 +114,19 @@ class EM:
         if k <= 0:
             return self.params
 
-        # periodic failure-recovery checkpoints: split the scan into
-        # checkpoint_every-sized segments (at most two distinct scan lengths
-        # compile: the segment size and the tail)
-        if (self.checkpoint_path and self.checkpoint_every
-                and k > self.checkpoint_every):
+        # periodic host-side work (failure-recovery checkpoints, duplicate
+        # revival) splits the scan into segments (at most two distinct scan
+        # lengths compile: the segment size and the tail)
+        segs = []
+        if self.checkpoint_path and self.checkpoint_every:
+            segs.append(self.checkpoint_every)
+        if self.revive_duplicates is not None:
+            segs.append(self.revive_duplicates[0])
+        seg_size = min(segs) if segs else 0
+        if seg_size and k > seg_size:
             done = 0
             while done < k:
-                seg = min(self.checkpoint_every, k - done)
+                seg = min(seg_size, k - done)
                 self.run_scanned(seg)
                 done += seg
             return self.params
@@ -166,10 +174,12 @@ class EM:
             if self.dlog is not None:
                 self.dlog.append_all(rec)
             self.anneal.next()
-        if self.checkpoint_path and self.checkpoint_every:
+        if (self.checkpoint_path and self.checkpoint_every
+                and self.anneal.position % self.checkpoint_every == 0):
             from prosper_tpu.io import checkpoint
             checkpoint.save(self.checkpoint_path, self.params,
                             step=self.anneal.position, rng=self.rng)
+        self._maybe_revive_duplicates()
         return self.params
 
     def step_once(self, verbose: bool = False) -> Dict:
@@ -212,23 +222,29 @@ class EM:
         cfg = self.revive_duplicates
         if cfg is None or "W" not in self.params:
             return
+        if jax.process_count() > 1:
+            # host-side revival would need a coordinated sample/RNG across
+            # processes to preserve SPMD determinism; disabled multi-host
+            return
         every, threshold, stop_frac = cfg
         pos = self.anneal.position
         if pos % every != 0 or pos >= stop_frac * self.anneal.steps:
             return
-        import jax.numpy as jnp
         W = np.array(jax.device_get(self.params["W"]), copy=True)
         norms = np.linalg.norm(W, axis=0) + 1e-9
         C = (W / norms).T @ (W / norms)
         np.fill_diagonal(C, 0.0)
         used: set = set()
         revived = 0
-        y_rows = self.data["y"].shape[0]
+        if self._revive_valid_rows is None:
+            valid = np.asarray(jax.device_get(self.data["valid"]))
+            self._revive_valid_rows = np.flatnonzero(valid > 0)
+        rows = self._revive_valid_rows
         for h in range(W.shape[1]):
             j = int(np.argmax(C[h]))
             if C[h, j] > threshold and h not in used and j not in used:
                 weaker = j if norms[j] <= norms[h] else h
-                idx = int(self._revive_rng.integers(0, y_rows))
+                idx = int(rows[self._revive_rng.integers(0, rows.size)])
                 sample = np.asarray(jax.device_get(self.data["y"][idx]))
                 noise = self._revive_rng.standard_normal(W.shape[0])
                 W[:, weaker] = 0.5 * sample + 0.5 * noise.astype(np.float32)

@@ -34,6 +34,9 @@ class ETModel:
 
     #: parameter names this model owns (subclasses extend)
     param_names: Tuple[str, ...] = ("W", "pi", "sigma")
+    #: the chunked E-step needs shard sizes that divide ``chunk`` (loaders
+    #: pad); mixture models impose no such requirement
+    requires_chunk_multiple: bool = True
 
     def __init__(self, D: int, H: int, Hprime: int, gamma: int,
                  to_learn: Optional[Sequence[str]] = None,

@@ -27,6 +27,9 @@ from prosper_tpu.parallel.mesh import maybe_psum
 class MixtureModel:
     """Shared EM machinery for K-component mixtures."""
 
+    #: single-pass (N,K) E-step — no chunk-divisibility requirement
+    requires_chunk_multiple = False
+
     def __init__(self, D: int, K: int, to_learn=None, chunk: int = 65536):
         self.D = int(D)
         self.K = int(K)

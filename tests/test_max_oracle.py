@@ -190,8 +190,10 @@ def test_mca_bars_with_annealed_rho():
     model = MCA(R * R, 2 * R, 6, 3, chunk=1000)
     gt = bars_gt_params(model, intensity=10.0, sigma=1.0)
     data = model.generate_data(gt, 1000, seed=21)
+    # rho is in units of RELATIVE winner gap (scale-invariant): rho=50 means
+    # a cause 10% below the winner gets e^-5 of its responsibility
     a = _anneal(60)
-    a["rho"] = [(0.0, 2.0), (0.7, 20.0)]
+    a["rho"] = [(0.0, 5.0), (0.7, 50.0)]
     em = EM(model, a, {"y": data["y"]}, seed=13)
     p = em.run()
     rec = count_recovered_bars(np.asarray(p["W"]), np.asarray(gt["W"]), 0.8)
