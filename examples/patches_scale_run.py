@@ -28,8 +28,8 @@ def planted_dictionary(D, H, active_pixels=8, intensity=10.0, seed=0):
     return W
 
 
-def main(N=1_000_000, D=256, H=300, Hp=8, gamma=4, iters=60, seed=0,
-         backend="xla", scanned=True):
+def main(N=1_000_000, D=256, H=300, Hp=8, gamma=4, iters=120, seed=0,
+         backend="xla", scanned=True, revive=(10, 0.95)):
     from prosper_tpu.data.patches import pad_for_mesh
 
     model = BSC(D, H, Hp, gamma, chunk=8192, backend=backend)
@@ -43,12 +43,13 @@ def main(N=1_000_000, D=256, H=300, Hp=8, gamma=4, iters=60, seed=0,
     padded = pad_for_mesh(data["y"], n_shards=1, chunk=model.chunk)
 
     anneal = LinearAnnealing(iters)
-    anneal["T"] = [(0.0, 2.0), (0.6, 1.0)]
-    anneal["W_noise"] = [(0.0, 0.5), (0.6, 0.0)]
-    anneal["Ncut_factor"] = [(0.5, 0.0), (0.9, 1.0)]
+    anneal["T"] = [(0.0, 2.0), (0.5, 1.0)]
+    anneal["W_noise"] = [(0.0, 0.5), (0.5, 0.0)]
+    anneal["Ncut_factor"] = [(0.75, 0.0), (0.95, 1.0)]
 
     em = EM(model, anneal, padded, seed=seed + 2,
-            params=model.standard_init(data, seed=seed + 3))
+            params=model.standard_init(data, seed=seed + 3),
+            revive_duplicates=revive)
     t0 = time.time()
     params = em.run_scanned() if scanned else em.run(verbose=False)
     wall = time.time() - t0
