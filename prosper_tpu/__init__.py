@@ -28,5 +28,6 @@ __version__ = "0.1.0"
 
 from prosper_tpu.engine.anneal import LinearAnnealing
 from prosper_tpu.engine.em import EM
+from prosper_tpu.parallel.mesh import MeshRuntime
 
-__all__ = ["LinearAnnealing", "EM", "__version__"]
+__all__ = ["LinearAnnealing", "EM", "MeshRuntime", "__version__"]
