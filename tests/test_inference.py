@@ -117,3 +117,18 @@ def test_chunked_decode_matches_unchunked():
     for k in full:
         np.testing.assert_allclose(np.asarray(parts[k]), np.asarray(full[k]),
                                    rtol=1e-5, atol=1e-5, err_msg=k)
+
+
+def test_inference_dsc_three_values():
+    """DSC decode with Phi={1,2,3}: MAP states recover generating values."""
+    from prosper_tpu.models.linear import DSC
+    R = 4
+    model = DSC(R * R, 2 * R, 5, 3, phi=(1.0, 2.0, 3.0))
+    gt = bars_gt_params(model, intensity=10.0, sigma=0.4, pi=0.12)
+    data = model.generate_data(gt, 150, seed=12)
+    out = model.inference(gt, data, top_L=4)
+    s_true = np.asarray(data["s"])
+    ok = (np.abs(s_true) > 1e-9).sum(axis=1) <= model.gamma
+    best = np.asarray(out["top_states"][:, 0, :])
+    match = (best[ok] == s_true[ok]).all(axis=1).mean()
+    assert match > 0.8, f"DSC MAP decode accuracy {match:.2f}"
