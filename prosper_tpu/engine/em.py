@@ -57,18 +57,24 @@ class EM:
         #: iterations the params are written so --resume restarts mid-run
         self.checkpoint_path = checkpoint_path
         self.checkpoint_every = checkpoint_every
-        #: (every, cosine_threshold, stop_frac) or None — TPU-build addition
-        #: beyond the reference: near-parallel dictionary columns fight over
-        #: the same atom (a local optimum the annealing cannot escape);
-        #: periodically re-initialising the weaker duplicate to a random
-        #: datapoint direction raised planted-dictionary recovery at the
-        #: patches scale from 269/300 to 285/300.  Disabled during the final
-        #: stop_frac of the schedule so convergence is clean.
+        #: (every, cosine_threshold[, stop_frac[, dead_norm_frac]]) or None —
+        #: TPU-build addition beyond the reference: near-parallel dictionary
+        #: columns fight over the same atom (a local optimum the annealing
+        #: cannot escape); periodically re-initialising the weaker duplicate
+        #: to a random datapoint direction raised planted-dictionary recovery
+        #: at the patches scale from 269/300 to 285/300.  Disabled during the
+        #: final stop_frac (default 0.75) of the schedule so convergence is
+        #: clean.  dead_norm_frac (default 0 = off) additionally revives
+        #: "dead" columns whose norm has decayed below dead_norm_frac times
+        #: the median column norm (an unused atom receives ~no sufficient
+        #: statistics, so the ridge M-step shrinks it toward zero).
         #: NOTE: revival RNG draws are not part of the checkpoint state — a
         #: resumed run's revivals may differ from the uninterrupted run
         #: (recovery statistics, not bitwise trajectories, are preserved)
-        if revive_duplicates is not None and len(revive_duplicates) == 2:
-            revive_duplicates = (*revive_duplicates, 0.75)
+        if revive_duplicates is not None:
+            defaults = (None, None, 0.75, 0.0)
+            revive_duplicates = (tuple(revive_duplicates)
+                                 + defaults[len(revive_duplicates):])
         self.revive_duplicates = revive_duplicates
         self._revive_rng = np.random.default_rng(seed + 1)
         self._revive_valid_rows = None
@@ -226,7 +232,7 @@ class EM:
             # host-side revival would need a coordinated sample/RNG across
             # processes to preserve SPMD determinism; disabled multi-host
             return
-        every, threshold, stop_frac = cfg
+        every, threshold, stop_frac, dead_norm_frac = cfg
         pos = self.anneal.position
         if pos % every != 0 or pos >= stop_frac * self.anneal.steps:
             return
@@ -240,16 +246,27 @@ class EM:
             valid = np.asarray(jax.device_get(self.data["valid"]))
             self._revive_valid_rows = np.flatnonzero(valid > 0)
         rows = self._revive_valid_rows
+
+        def reinit(col: int) -> None:
+            idx = int(rows[self._revive_rng.integers(0, rows.size)])
+            sample = np.asarray(jax.device_get(self.data["y"][idx]))
+            noise = self._revive_rng.standard_normal(W.shape[0])
+            W[:, col] = 0.5 * sample + 0.5 * noise.astype(np.float32)
+
         for h in range(W.shape[1]):
             j = int(np.argmax(C[h]))
             if C[h, j] > threshold and h not in used and j not in used:
                 weaker = j if norms[j] <= norms[h] else h
-                idx = int(rows[self._revive_rng.integers(0, rows.size)])
-                sample = np.asarray(jax.device_get(self.data["y"][idx]))
-                noise = self._revive_rng.standard_normal(W.shape[0])
-                W[:, weaker] = 0.5 * sample + 0.5 * noise.astype(np.float32)
+                reinit(weaker)
                 used.update((h, j))
                 revived += 1
+        if dead_norm_frac > 0.0:
+            floor = dead_norm_frac * float(np.median(norms))
+            for h in range(W.shape[1]):
+                if h not in used and norms[h] < floor:
+                    reinit(h)
+                    used.add(h)
+                    revived += 1
         if revived:
             new_W = jnp.asarray(W, jnp.float32)
             if self.runtime is not None:

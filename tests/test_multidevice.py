@@ -159,3 +159,28 @@ def test_revive_duplicates_replaces_weaker_column(problem):
     assert c01 < 0.95                  # duplicate broken
     np.testing.assert_allclose(W2[:, 0], W[:, 0])   # stronger kept
     np.testing.assert_allclose(W2[:, 2:], W[:, 2:]) # others untouched
+
+
+def test_revive_dead_column(problem):
+    """Opt-in dead-unit revival (4th tuple element): a column whose norm
+    decayed far below the median gets re-initialised; healthy columns are
+    untouched."""
+    import jax.numpy as jnp
+    from prosper_tpu.engine.em import EM
+    from prosper_tpu.engine.anneal import LinearAnnealing
+
+    model, gt, data = problem
+    em = EM(model, LinearAnnealing(10), {"y": data["y"]}, seed=3,
+            revive_duplicates=(1, 0.95, 0.75, 0.1))
+    rng = np.random.default_rng(0)
+    W = rng.standard_normal(
+        np.asarray(em.params["W"]).shape).astype(np.float32) * 3.0
+    W[:, 2] *= 1e-4                    # plant a dead (decayed) column
+    em.params = dict(em.params, W=jnp.asarray(W, jnp.float32))
+    em.anneal.position = 1
+    em._maybe_revive_duplicates()
+    W2 = np.asarray(jax.device_get(em.params["W"]))
+    median = float(np.median(np.linalg.norm(W2, axis=0)))
+    assert np.linalg.norm(W2[:, 2]) > 0.1 * median  # dead column revived
+    np.testing.assert_allclose(W2[:, :2], W[:, :2]) # healthy untouched
+    np.testing.assert_allclose(W2[:, 3:], W[:, 3:])
