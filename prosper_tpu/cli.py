@@ -73,7 +73,8 @@ def _build_from_decl(cfg: Dict) -> Dict[str, Any]:
     out["anneal"] = anneal
 
     for k in ("data_h5", "data_dataset", "output", "seed", "N",
-              "log_params_every", "gt_params", "checkpoint_every"):
+              "log_params_every", "gt_params", "checkpoint_every",
+              "revive_duplicates"):
         if k in cfg:
             out[k] = cfg[k]
     return out
@@ -167,7 +168,9 @@ def cmd_train(args) -> int:
             seed=int(cfg.get("seed", 42)), runtime=runtime, dlog=dlog,
             log_params_every=int(cfg.get("log_params_every", 1)),
             checkpoint_path=ckpt_path,
-            checkpoint_every=int(cfg.get("checkpoint_every", 25)))
+            checkpoint_every=int(cfg.get("checkpoint_every", 25)),
+            revive_duplicates=(tuple(cfg["revive_duplicates"])
+                               if cfg.get("revive_duplicates") else None))
     if args.scan:
         params = em.run_scanned()
     else:

@@ -72,9 +72,15 @@ class EM:
         #: resumed run's revivals may differ from the uninterrupted run
         #: (recovery statistics, not bitwise trajectories, are preserved)
         if revive_duplicates is not None:
+            if not 2 <= len(revive_duplicates) <= 4:
+                raise ValueError(
+                    "revive_duplicates must be (every, cos_threshold"
+                    "[, stop_frac[, dead_norm_frac]]), got "
+                    f"{revive_duplicates!r}")
             defaults = (None, None, 0.75, 0.0)
-            revive_duplicates = (tuple(revive_duplicates)
-                                 + defaults[len(revive_duplicates):])
+            revive_duplicates = (int(revive_duplicates[0]),
+                                 *(float(v) for v in revive_duplicates[1:]),
+                                 *defaults[len(revive_duplicates):])
         self.revive_duplicates = revive_duplicates
         self._revive_rng = np.random.default_rng(seed + 1)
         self._revive_valid_rows = None

@@ -72,6 +72,23 @@ def test_cli_train_toml(tmp_path):
     assert os.path.exists(os.path.join(out, "result.h5"))
 
 
+def test_cli_train_toml_revive(tmp_path):
+    """revive_duplicates is configurable from declarative configs."""
+    cfg = tmp_path / "c.toml"
+    cfg.write_text(
+        "revive_duplicates = [2, 0.95]\n\n"
+        '[model]\ntype = "bsc"\nD = 9\nH = 4\nHprime = 3\ngamma = 2\n\n'
+        "[anneal]\nsteps = 6\n")
+    from prosper_tpu.data.patches import write_h5_dataset
+    d = str(tmp_path / "d.h5")
+    write_h5_dataset(d, np.random.default_rng(0)
+                     .standard_normal((64, 9)).astype(np.float32))
+    out = str(tmp_path / "run")
+    rc = cli.main(["train", str(cfg), "--data", d, "-o", out, "-q"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "result.h5"))
+
+
 def test_cli_train_mesh(tiny_config, tmp_path):
     out = str(tmp_path / "runm")
     rc = cli.main(["train", tiny_config, "-o", out, "-q", "--mesh", "data=4"])
