@@ -29,7 +29,7 @@ def planted_dictionary(D, H, active_pixels=8, intensity=10.0, seed=0):
 
 
 def main(N=1_000_000, D=256, H=300, Hp=8, gamma=4, iters=120, seed=0,
-         backend="xla", scanned=True, revive=(10, 0.95)):
+         backend="xla", scanned=True, revive=(10, 0.85, 0.75, 0.1)):
     from prosper_tpu.data.patches import pad_for_mesh
 
     model = BSC(D, H, Hp, gamma, chunk=8192, backend=backend)

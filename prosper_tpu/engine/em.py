@@ -47,7 +47,8 @@ class EM:
                  log_params_every: int = 1,
                  checkpoint_path: Optional[str] = None,
                  checkpoint_every: int = 0,
-                 revive_duplicates: Optional[tuple] = None):
+                 revive_duplicates: Optional[tuple] = None,
+                 split_norm_frac: float = 0.0):
         self.model = model
         self.anneal = anneal
         self.runtime = runtime
@@ -82,6 +83,12 @@ class EM:
                                  *(float(v) for v in revive_duplicates[1:]),
                                  *defaults[len(revive_duplicates):])
         self.revive_duplicates = revive_duplicates
+        #: with revive_duplicates: when a column is freed (duplicate/dead),
+        #: prefer splitting the highest-norm column above split_norm_frac x
+        #: the median norm (a blend of two atoms carries ~sqrt(2)x energy)
+        #: into a symmetric +/- perturbation pair instead of a random
+        #: re-init; 0 disables
+        self.split_norm_frac = float(split_norm_frac)
         self._revive_rng = np.random.default_rng(seed + 1)
         self._revive_valid_rows = None
         self.rng = jax.random.PRNGKey(seed)
@@ -253,7 +260,28 @@ class EM:
             self._revive_valid_rows = np.flatnonzero(valid > 0)
         rows = self._revive_valid_rows
 
+        split_norm_frac = self.split_norm_frac
+        median_norm = float(np.median(norms))
+        # split candidates: columns whose norm is far above the median — a
+        # fused pair of atoms carries ~sqrt(2)x the energy of a single one
+        split_pool = ([] if split_norm_frac <= 0.0 else
+                      [int(h) for h in np.argsort(norms)[::-1]
+                       if norms[h] > split_norm_frac * median_norm])
+
         def reinit(col: int) -> None:
+            # prefer splitting a suspected blend: seed the freed column and
+            # the blend with symmetric +/- perturbations of the blend so the
+            # E-step can break the symmetry and separate the fused atoms
+            if split_pool:
+                b = split_pool.pop(0)
+                if b not in used:
+                    eps = 0.3 * norms[b] / np.sqrt(W.shape[0])
+                    noise = (eps * self._revive_rng.standard_normal(
+                        W.shape[0])).astype(np.float32)
+                    W[:, col] = W[:, b] + noise
+                    W[:, b] = W[:, b] - noise
+                    used.add(b)
+                    return
             idx = int(rows[self._revive_rng.integers(0, rows.size)])
             sample = np.asarray(jax.device_get(self.data["y"][idx]))
             noise = self._revive_rng.standard_normal(W.shape[0])
@@ -267,7 +295,7 @@ class EM:
                 used.update((h, j))
                 revived += 1
         if dead_norm_frac > 0.0:
-            floor = dead_norm_frac * float(np.median(norms))
+            floor = dead_norm_frac * median_norm
             for h in range(W.shape[1]):
                 if h not in used and norms[h] < floor:
                     reinit(h)

@@ -184,3 +184,31 @@ def test_revive_dead_column(problem):
     assert np.linalg.norm(W2[:, 2]) > 0.1 * median  # dead column revived
     np.testing.assert_allclose(W2[:, :2], W[:, :2]) # healthy untouched
     np.testing.assert_allclose(W2[:, 3:], W[:, 3:])
+
+
+def test_split_revival_seeds_blend_pair(problem):
+    """With split_norm_frac: a freed (dead) column is re-seeded as the
+    symmetric +/- partner of the highest-norm column (suspected blend of
+    two atoms) instead of a random direction."""
+    import jax.numpy as jnp
+    from prosper_tpu.engine.em import EM
+    from prosper_tpu.engine.anneal import LinearAnnealing
+
+    model, gt, data = problem
+    em = EM(model, LinearAnnealing(10), {"y": data["y"]}, seed=3,
+            revive_duplicates=(1, 0.95, 0.75, 0.1), split_norm_frac=1.3)
+    rng = np.random.default_rng(0)
+    W = rng.standard_normal(
+        np.asarray(em.params["W"]).shape).astype(np.float32) * 3.0
+    W[:, 0] *= 2.0                     # suspected blend (high norm)
+    W[:, 2] *= 1e-4                    # dead column (gets freed)
+    em.params = dict(em.params, W=jnp.asarray(W, jnp.float32))
+    em.anneal.position = 1
+    em._maybe_revive_duplicates()
+    W2 = np.asarray(jax.device_get(em.params["W"]))
+    # freed col 2 and blend col 0 are now a symmetric pair around old col 0
+    np.testing.assert_allclose(W2[:, 0] + W2[:, 2], 2.0 * W[:, 0],
+                               rtol=1e-5, atol=1e-4)
+    assert np.linalg.norm(W2[:, 0] - W2[:, 2]) > 0   # actually perturbed
+    np.testing.assert_allclose(W2[:, 1], W[:, 1])    # others untouched
+    np.testing.assert_allclose(W2[:, 3:], W[:, 3:])
