@@ -29,7 +29,8 @@ def planted_dictionary(D, H, active_pixels=8, intensity=10.0, seed=0):
 
 
 def main(N=1_000_000, D=256, H=300, Hp=8, gamma=4, iters=120, seed=0,
-         backend="xla", scanned=True, revive=(10, 0.85, 0.75, 0.1)):
+         backend="xla", scanned=True, revive=(10, 0.85, 0.75, 0.1),
+         reseed_worst_frac=0.02):
     from prosper_tpu.data.patches import pad_for_mesh
 
     model = BSC(D, H, Hp, gamma, chunk=8192, backend=backend)
@@ -49,7 +50,8 @@ def main(N=1_000_000, D=256, H=300, Hp=8, gamma=4, iters=120, seed=0,
 
     em = EM(model, anneal, padded, seed=seed + 2,
             params=model.standard_init(data, seed=seed + 3),
-            revive_duplicates=revive)
+            revive_duplicates=revive,
+            reseed_worst_frac=reseed_worst_frac)
     t0 = time.time()
     params = em.run_scanned() if scanned else em.run(verbose=False)
     wall = time.time() - t0

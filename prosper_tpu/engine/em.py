@@ -48,7 +48,8 @@ class EM:
                  checkpoint_path: Optional[str] = None,
                  checkpoint_every: int = 0,
                  revive_duplicates: Optional[tuple] = None,
-                 split_norm_frac: float = 0.0):
+                 split_norm_frac: float = 0.0,
+                 reseed_worst_frac: float = 0.0):
         self.model = model
         self.anneal = anneal
         self.runtime = runtime
@@ -89,6 +90,12 @@ class EM:
         #: into a symmetric +/- perturbation pair instead of a random
         #: re-init; 0 disables
         self.split_norm_frac = float(split_norm_frac)
+        #: with revive_duplicates: re-seed freed columns from datapoints in
+        #: the worst-explained tail (bottom reseed_worst_frac of the
+        #: per-datapoint free energy F_prev) instead of uniformly — missing
+        #: dictionary atoms concentrate where the current model explains
+        #: the data worst; 0 keeps uniform sampling
+        self.reseed_worst_frac = float(reseed_worst_frac)
         self._revive_rng = np.random.default_rng(seed + 1)
         self._revive_valid_rows = None
         self.rng = jax.random.PRNGKey(seed)
@@ -259,6 +266,10 @@ class EM:
             valid = np.asarray(jax.device_get(self.data["valid"]))
             self._revive_valid_rows = np.flatnonzero(valid > 0)
         rows = self._revive_valid_rows
+        if self.reseed_worst_frac > 0.0:
+            F = np.asarray(jax.device_get(self.data["F_prev"]))[rows]
+            k = max(1, int(self.reseed_worst_frac * rows.size))
+            rows = rows[np.argsort(F)[:k]]
 
         split_norm_frac = self.split_norm_frac
         median_norm = float(np.median(norms))

@@ -212,3 +212,34 @@ def test_split_revival_seeds_blend_pair(problem):
     assert np.linalg.norm(W2[:, 0] - W2[:, 2]) > 0   # actually perturbed
     np.testing.assert_allclose(W2[:, 1], W[:, 1])    # others untouched
     np.testing.assert_allclose(W2[:, 3:], W[:, 3:])
+
+
+def test_reseed_worst_frac_samples_poorly_explained(problem):
+    """With reseed_worst_frac: the revival sample comes from the datapoints
+    with the lowest F_prev (worst explained), not uniformly."""
+    import jax.numpy as jnp
+    from prosper_tpu.engine.em import EM
+    from prosper_tpu.engine.anneal import LinearAnnealing
+
+    model, gt, data = problem
+    em = EM(model, LinearAnnealing(10), {"y": data["y"]}, seed=3,
+            revive_duplicates=(1, 0.95, 0.75, 0.1),
+            reseed_worst_frac=1e-9)           # k=1: only THE worst row
+    N = data["y"].shape[0]
+    y = np.asarray(data["y"]).copy()
+    y[7] = 0.0
+    y[7, 0] = 100.0                           # distinctive direction
+    F = np.zeros((N,), np.float32)
+    F[7] = -1e9                               # worst-explained datapoint
+    em.data = dict(em.data, y=jnp.asarray(y), F_prev=jnp.asarray(F))
+    rng = np.random.default_rng(0)
+    W = rng.standard_normal(
+        np.asarray(em.params["W"]).shape).astype(np.float32) * 3.0
+    W[:, 2] *= 1e-4                           # dead column gets re-seeded
+    em.params = dict(em.params, W=jnp.asarray(W, jnp.float32))
+    em.anneal.position = 1
+    em._maybe_revive_duplicates()
+    W2 = np.asarray(jax.device_get(em.params["W"]))
+    col = W2[:, 2]
+    cos = (col @ y[7]) / (np.linalg.norm(col) * np.linalg.norm(y[7]))
+    assert cos > 0.9                          # seeded from the worst row
