@@ -30,7 +30,7 @@ def planted_dictionary(D, H, active_pixels=8, intensity=10.0, seed=0):
 
 def main(N=1_000_000, D=256, H=300, Hp=8, gamma=4, iters=120, seed=0,
          backend="xla", scanned=True, revive=(10, 0.85, 0.75, 0.1),
-         reseed_worst_frac=0.02):
+         reseed_worst_frac=0.02, refine_gamma=0, refine_iters=40):
     from prosper_tpu.data.patches import pad_for_mesh
 
     model = BSC(D, H, Hp, gamma, chunk=8192, backend=backend)
@@ -63,6 +63,24 @@ def main(N=1_000_000, D=256, H=300, Hp=8, gamma=4, iters=120, seed=0,
           f"({per_iter*1e3:.0f} ms/iter, "
           f"{N/per_iter/1e6:.1f} M dp/s); recovered {rec}/{H} columns; "
           f"sigma={float(params['sigma']):.3f} pi={float(params['pi']):.4f}")
+
+    if refine_gamma > gamma:
+        # warm-start refinement with a deeper enumeration: columns that
+        # converged to a *blend* of two atoms need >gamma active causes to
+        # be explained apart; params are plain dicts, so they transfer
+        # across models with a different (static) state space directly
+        model2 = BSC(D, H, Hp, refine_gamma, chunk=model.chunk,
+                     backend=backend)
+        anneal2 = LinearAnnealing(refine_iters)
+        anneal2["T"] = 1.0
+        em2 = EM(model2, anneal2, padded, seed=seed + 4, params=params,
+                 revive_duplicates=revive,
+                 reseed_worst_frac=reseed_worst_frac)
+        params = em2.run_scanned() if scanned else em2.run(verbose=False)
+        _, cosines = cosine_match(np.asarray(params["W"]), gt["W"])
+        rec = int((cosines > 0.8).sum())
+        print(f"[patches] gamma={refine_gamma} refinement "
+              f"({refine_iters} iters): recovered {rec}/{H} columns")
     return rec, per_iter
 
 
