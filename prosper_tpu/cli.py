@@ -99,6 +99,33 @@ def _load_data(cfg: Dict, model, args) -> Dict[str, np.ndarray]:
                      "gt_params) and --data not given")
 
 
+def _truncate_logs(out_dir: str, step: int, log_params_every: int) -> None:
+    """Rewind result.h5 / metrics.jsonl to checkpoint ``step`` iterations.
+
+    Row-count rule mirrors EM.step_once's logging: scalar/vector channels
+    get one row per iteration; big (ndim>=2, e.g. W) channels are
+    rate-limited to iterations where position % log_params_every == 0.
+    """
+    h5_path = os.path.join(out_dir, "result.h5")
+    if os.path.exists(h5_path):
+        import h5py
+        k = max(1, int(log_params_every))
+        n_big = (step + k - 1) // k       # positions 0, k, 2k, ... < step
+        with h5py.File(h5_path, "a") as f:
+            for name in list(f.keys()):
+                ds = f[name]
+                target = n_big if (ds.ndim - 1) >= 2 else step
+                if ds.shape[0] > target:
+                    ds.resize(target, axis=0)
+    jl_path = os.path.join(out_dir, "metrics.jsonl")
+    if os.path.exists(jl_path):
+        with open(jl_path) as f:
+            lines = f.readlines()
+        if len(lines) > step:
+            with open(jl_path, "w") as f:
+                f.writelines(lines[:step])
+
+
 def cmd_train(args) -> int:
     if getattr(args, "multihost", False):
         # must run before anything touches a JAX backend
@@ -128,11 +155,19 @@ def cmd_train(args) -> int:
     # failure recovery (SURVEY.md §5.3/5.4): deterministic restart from the
     # last checkpoint written in the output dir
     params = None
+    ckpt_rng = None
+    log_params_every = int(cfg.get("log_params_every", 1))
     ckpt_path = os.path.join(out_dir, "checkpoint.h5")
+    ckpt_extra = {}
     if args.resume and os.path.exists(ckpt_path):
         from prosper_tpu.io import checkpoint
-        params, step, _ = checkpoint.restore(ckpt_path)
-        anneal.reset(min(step, anneal.steps))
+        params, step, ckpt_rng, ckpt_extra = checkpoint.restore_full(ckpt_path)
+        step = min(step, anneal.steps)
+        anneal.reset(step)
+        # drop log rows for iterations between the checkpoint and the crash:
+        # append mode would otherwise duplicate them, breaking
+        # resume_from_h5's row-index == iteration assumption (ADVICE r1)
+        _truncate_logs(out_dir, step, log_params_every)
         print(f"[train] resuming from {ckpt_path} at step {step}")
 
     dlog = DataLog()
@@ -162,15 +197,25 @@ def cmd_train(args) -> int:
     if "valid" in data:
         v = np.asarray(data["valid"])
         padded["valid"][:v.shape[0]] = v
+    if "F_prev" in ckpt_extra and ckpt_extra["F_prev"].shape[0] <= y.shape[0]:
+        fp = np.zeros((padded["y"].shape[0],), np.float32)
+        fp[:ckpt_extra["F_prev"].shape[0]] = ckpt_extra["F_prev"]
+        padded["F_prev"] = fp
     data = padded
 
     em = EM(model, anneal, data, params=params,
             seed=int(cfg.get("seed", 42)), runtime=runtime, dlog=dlog,
-            log_params_every=int(cfg.get("log_params_every", 1)),
+            log_params_every=log_params_every,
             checkpoint_path=ckpt_path,
             checkpoint_every=int(cfg.get("checkpoint_every", 25)),
             revive_duplicates=(tuple(cfg["revive_duplicates"])
                                if cfg.get("revive_duplicates") else None))
+    if ckpt_rng is not None:
+        # deterministic restart: continue the PRNG chain recorded in the
+        # checkpoint rather than replaying the config seed's early-schedule
+        # noise values (ADVICE r1; revival RNG is still not resumed — see
+        # EM.revive_duplicates note)
+        em.rng = ckpt_rng
     if args.scan:
         params = em.run_scanned()
     else:

@@ -76,7 +76,13 @@ class LinearAnnealing:
             return spec
         if not isinstance(spec, list):
             return float(spec)
-        pts = [(self._abs_pos(p), v) for p, v in spec]
+        # map to absolute positions FIRST, then sort: a spec mixing
+        # fractional and absolute breakpoints (e.g. [(0.9, 5.0), (5, 1.0)])
+        # is ordered differently in raw-spec space than in iteration space,
+        # and interpolating over a non-monotone point list silently drops
+        # breakpoints (ADVICE r1, medium)
+        pts = sorted(((self._abs_pos(p), v) for p, v in spec),
+                     key=lambda pv: pv[0])
         x = float(step)
         if x <= pts[0][0]:
             return pts[0][1]

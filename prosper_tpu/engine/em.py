@@ -98,6 +98,12 @@ class EM:
         self.reseed_worst_frac = float(reseed_worst_frac)
         self._revive_rng = np.random.default_rng(seed + 1)
         self._revive_valid_rows = None
+        # periodic actions fire on boundary crossings (position advanced past
+        # last_fired + every), not on exact multiples: run_scanned segments
+        # end at multiples of the SMALLEST period, so a modulo test would
+        # silently skip the larger-period action (ADVICE r1)
+        self._last_ckpt = anneal.position
+        self._last_revive = anneal.position
         self.rng = jax.random.PRNGKey(seed)
 
         if "F_prev" not in data:
@@ -200,11 +206,7 @@ class EM:
             if self.dlog is not None:
                 self.dlog.append_all(rec)
             self.anneal.next()
-        if (self.checkpoint_path and self.checkpoint_every
-                and self.anneal.position % self.checkpoint_every == 0):
-            from prosper_tpu.io import checkpoint
-            checkpoint.save(self.checkpoint_path, self.params,
-                            step=self.anneal.position, rng=self.rng)
+        self._maybe_checkpoint()
         self._maybe_revive_duplicates()
         return self.params
 
@@ -254,8 +256,9 @@ class EM:
             return
         every, threshold, stop_frac, dead_norm_frac = cfg
         pos = self.anneal.position
-        if pos % every != 0 or pos >= stop_frac * self.anneal.steps:
+        if pos - self._last_revive < every or pos >= stop_frac * self.anneal.steps:
             return
+        self._last_revive = pos
         W = np.array(jax.device_get(self.params["W"]), copy=True)
         norms = np.linalg.norm(W, axis=0) + 1e-9
         C = (W / norms).T @ (W / norms)
@@ -320,7 +323,15 @@ class EM:
 
     def _maybe_checkpoint(self) -> None:
         if (self.checkpoint_path and self.checkpoint_every
-                and self.anneal.position % self.checkpoint_every == 0):
+                and self.anneal.position - self._last_ckpt
+                >= self.checkpoint_every):
+            self._last_ckpt = self.anneal.position
             from prosper_tpu.io import checkpoint
-            checkpoint.save(self.checkpoint_path, self.params,
-                            step=self.anneal.position, rng=self.rng)
+            # F_prev rides along so a resumed run's Ncut mask matches the
+            # uninterrupted trajectory (it ranks by the previous iteration's
+            # free energies — models/base.py design note)
+            checkpoint.save(
+                self.checkpoint_path, self.params,
+                step=self.anneal.position, rng=self.rng,
+                extra={"F_prev": np.asarray(
+                    jax.device_get(self.data["F_prev"]))})

@@ -43,13 +43,26 @@ def save(path: str, params: Dict, step: int, rng=None,
 
 def restore(path: str) -> Tuple[Dict, int, Optional[jax.Array]]:
     """Load (params, step, rng-or-None) from a checkpoint file."""
+    params, step, rng, _ = restore_full(path)
+    return params, step, rng
+
+
+def restore_full(path: str) -> Tuple[Dict, int, Optional[jax.Array], Dict]:
+    """Load (params, step, rng-or-None, extra) from a checkpoint file.
+
+    ``extra`` carries auxiliary state needed for trajectory-faithful resume
+    (e.g. the previous iteration's per-datapoint free energies F_prev, which
+    drive the Ncut mask)."""
     with h5py.File(path, "r") as f:
         step = int(f.attrs["step"])
         params = {k: jnp.asarray(np.asarray(v)) for k, v in f["params"].items()}
         rng = None
         if "rng" in f:
             rng = jnp.asarray(np.asarray(f["rng"]), dtype=jnp.uint32)
-    return params, step, rng
+        extra = {}
+        if "extra" in f:
+            extra = {k: np.asarray(v) for k, v in f["extra"].items()}
+    return params, step, rng, extra
 
 
 def resume_from_h5(path: str, param_names=("W", "pi", "sigma"),

@@ -194,7 +194,9 @@ def _kernel(scal_ref, y_ref, w_ref, W_ref, gram_ref, gdiag_ref,
 
 def auto_tile(N: int, D: int, H: int, Hp: int, S: int, K: int,
               vmem_budget: int = 10 * 1024 * 1024) -> int:
-    """Largest tile (divisor of N, <= 1024) whose VMEM working set fits.
+    """Largest power-of-two tile (<= min(N rounded up, 1024)) whose VMEM
+    working set fits; callers pad N up to a tile multiple (pad rows carry
+    weight 0, so they contribute nothing to any sufficient statistic).
 
     Dominant live buffers per tile row: y (D), P/score/work (3H), the Hp
     one-hot and T slabs (2*Hp*H), singles blocks (~3KH), multi logits (~3S).
@@ -203,11 +205,7 @@ def auto_tile(N: int, D: int, H: int, Hp: int, S: int, K: int,
     """
     per_row = 4 * (D + 3 * H + 2 * Hp * H + 3 * K * H + 3 * S + 64)
     tile = 1024
-    while tile > 8 and (tile * per_row > vmem_budget or N % tile != 0):
-        if N < tile:
-            tile = N
-            if tile * per_row <= vmem_budget:
-                break
+    while tile > 8 and (tile * per_row > vmem_budget or tile > N):
         tile //= 2
     return max(tile, 8)
 
@@ -224,12 +222,16 @@ def linear_et_estep_pallas(
     S, K = sa.value_counts.shape
     if tile <= 0:
         tile = auto_tile(N, D, H, Hp, S, K)
-    if N % tile != 0:
-        if N < tile:
-            tile = N
-        else:
-            raise ValueError(f"N={N} not a multiple of tile={tile}")
-    n_tiles = N // tile
+    pad = (-N) % tile
+    if pad:
+        # weight-0 padding (mirrors chunked_decode): padded rows multiply
+        # every accumulated statistic by w2 == 0, and their F rows are
+        # sliced off below (ADVICE r1 — the library path now accepts any N,
+        # like the XLA path)
+        y = jnp.concatenate([y, jnp.zeros((pad, D), y.dtype)], axis=0)
+        weight = jnp.concatenate(
+            [weight, jnp.zeros((pad,), weight.dtype)], axis=0)
+    n_tiles = (N + pad) // tile
 
     gram = jnp.dot(W.T, W, preferred_element_type=jnp.float32)
     gdiag = jnp.diagonal(gram)[None, :]
@@ -242,7 +244,7 @@ def linear_et_estep_pallas(
                      signed_select=signed_select)
 
     out_shape = (
-        jax.ShapeDtypeStruct((N, 1), jnp.float32),        # F
+        jax.ShapeDtypeStruct((N + pad, 1), jnp.float32),  # F
         jax.ShapeDtypeStruct((D, H), jnp.float32),        # xs
         jax.ShapeDtypeStruct((H, H), jnp.float32),        # ss
         jax.ShapeDtypeStruct((1, H), jnp.float32),        # s
@@ -289,4 +291,4 @@ def linear_et_estep_pallas(
     sums = dict(xs=xs, ss=ss, s=s,
                 vc=misc[:K], abs=misc[K], y2=misc[K + 1], n=misc[K + 2],
                 F=misc[K + 3], F_true=misc[K + 4])
-    return F[:, 0], sums
+    return F[:N, 0], sums

@@ -30,6 +30,23 @@ def test_absolute_positions():
     assert a.value_at("W_noise", 99) == 0.0
 
 
+def test_mixed_fractional_and_absolute_positions():
+    """ADVICE r1 (medium): mixing fraction and absolute breakpoints must
+    interpolate over ITERATION-space order, not raw-spec order."""
+    a = LinearAnnealing(100)
+    # raw-spec order [(0.9, 5.0), (5, 1.0)] but iteration order is
+    # [(5, 1.0), (89.1, 5.0)]
+    a["T"] = [(0.9, 5.0), (5, 1.0)]
+    assert a.value_at("T", 0) == 1.0          # clamped to earliest breakpoint
+    assert a.value_at("T", 5) == 1.0
+    assert a.value_at("T", 99) == 5.0
+    mid = a.value_at("T", 47)                 # ~halfway 5 -> 89.1
+    assert 2.5 < mid < 3.5
+    # monotone non-decreasing across the whole schedule
+    vals = [a.value_at("T", i) for i in range(100)]
+    assert all(b >= a_ for a_, b in zip(vals, vals[1:]))
+
+
 def test_iteration_and_finished():
     a = LinearAnnealing(3)
     seen = 0
