@@ -63,10 +63,30 @@ def state_arrays_from(space) -> LinearStateArrays:
     )
 
 
+def traced_state_arrays(slot_onehot, value_counts, abs_states,
+                        phi) -> LinearStateArrays:
+    """State arrays as traced functions of a learned value vector ``phi``.
+
+    ``slot_onehot`` is the static (S, Hp, K) assignment indicator
+    (core.states.slot_value_onehot); states/outer/values become functions of
+    the (K,) parameter so DSC value-set learning re-enumerates nothing."""
+    phi = jnp.asarray(phi, jnp.float32)
+    states = jnp.einsum("sak,k->sa", jnp.asarray(slot_onehot), phi)
+    S, Hp = states.shape
+    outer = (states[:, :, None] * states[:, None, :]).reshape(S, Hp * Hp)
+    return LinearStateArrays(
+        states=states, outer=outer,
+        abs_states=jnp.asarray(abs_states),
+        value_counts=jnp.asarray(value_counts),
+        values=phi,
+    )
+
+
 def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArrays,
                   Hp: int, signed_select: bool, beta, prior_beta,
                   state_axis=None, n_state_shards: int = 1,
-                  dense_gather: bool = True, compute_dtype=None):
+                  dense_gather: bool = True, compute_dtype=None,
+                  collect_phi: bool = False, slot_onehot=None):
     """E-statistics for one chunk of datapoints.
 
     y : (C, D), w : (C,) accumulation weights (Ncut/partial/padding mask).
@@ -135,6 +155,9 @@ def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArr
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, srank * S_loc, S_loc, 0)
         states, outer, vcounts, absst, svalid = (
             sl(states_p), sl(outer_p), sl(vcount_p), sl(absst_p), sl(svalid_p))
+        if collect_phi:
+            slot_onehot = sl(jnp.pad(jnp.asarray(slot_onehot),
+                                     ((0, pad), (0, 0), (0, 0))))
         own_zs = (srank == 0).astype(f32)      # zero/singleton owner
     else:
         states, outer, vcounts, absst = (sa.states, sa.outer,
@@ -251,6 +274,27 @@ def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArr
         F=own_zs * jnp.sum(F * wv),
         F_true=own_zs * jnp.sum(F_true * wv),
     )
+
+    if collect_phi:
+        # Value-set (Phi) learning statistics.  With s = sum_k phi_k b_k
+        # (b_k the indicator of value k per unit), the expected complete-data
+        # log-likelihood is quadratic in phi; its stationary point solves
+        # M phi = c with
+        #   c_k  = sum_n w E[b_k]^T W^T y_n
+        #   M_kj = sum_n w E[b_k^T (W^T W) b_j]
+        # Multi-state part uses the candidate-space posterior; singletons
+        # contribute only to the diagonal (one active unit).
+        so = jnp.asarray(slot_onehot)                       # (S_loc, Hp, K)
+        # Qsel[n,a,k] = sum_s q_multi[n,s] so[s,a,k]
+        Qsel = jnp.einsum("ns,sak->nak", q_multi, so)
+        phi_c_multi = jnp.einsum("nak,na,n->k", Qsel, proj, wv)
+        QG = jnp.einsum("ns,n,nab->sab", q_multi, wv, G)    # (S_loc,Hp,Hp)
+        phi_M_multi = jnp.einsum("sab,sak,sbj->kj", QG, so, so)
+        phi_c_single = jnp.einsum("nhk,nh,n->k", q_single, P, wv)
+        phi_M_single = jnp.einsum("nhk,h,n->k", q_single, gram_diag, wv)
+        sums["phi_c"] = phi_c_multi + own_zs * phi_c_single
+        sums["phi_M"] = phi_M_multi + own_zs * jnp.diag(phi_M_single)
+
     return F, sums
 
 
@@ -258,7 +302,8 @@ def linear_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
                     sigma2, log_odds: jnp.ndarray, sa: LinearStateArrays,
                     Hp: int, signed_select: bool, beta, prior_beta,
                     chunk: int = 2048, state_axis=None,
-                    n_state_shards: int = 1, compute_dtype=None
+                    n_state_shards: int = 1, compute_dtype=None,
+                    collect_phi: bool = False, slot_onehot=None
                     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Full-shard E-step with chunked online accumulation.
 
@@ -281,7 +326,8 @@ def linear_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
                    sigma2=sigma2, log_odds=log_odds, sa=sa, Hp=Hp,
                    signed_select=signed_select, beta=beta, prior_beta=prior_beta,
                    state_axis=state_axis, n_state_shards=n_state_shards,
-                   dense_gather=dense, compute_dtype=compute_dtype)
+                   dense_gather=dense, compute_dtype=compute_dtype,
+                   collect_phi=collect_phi, slot_onehot=slot_onehot)
 
     if N <= chunk:
         return body(y, weight)
@@ -305,6 +351,10 @@ def linear_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
         vc=jnp.zeros_like(log_odds), y2=jnp.float32(0.0),
         n=jnp.float32(0.0), F=jnp.float32(0.0), F_true=jnp.float32(0.0),
     )
+    if collect_phi:
+        K = log_odds.shape[0]
+        zeros["phi_c"] = jnp.zeros((K,), jnp.float32)
+        zeros["phi_M"] = jnp.zeros((K, K), jnp.float32)
     sums, F = jax.lax.scan(scan_body, zeros, (yc, wc))
     return F.reshape(N), sums
 

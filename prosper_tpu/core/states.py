@@ -175,6 +175,22 @@ def discrete_state_space(
                       values=values, outer=outer)
 
 
+def slot_value_onehot(space: StateSpace) -> np.ndarray:
+    """(S, Hp, K) indicator: slot ``a`` of state ``s`` carries ``values[k]``.
+
+    This factors the value-ASSIGNMENT structure (static combinatorics) out of
+    the value MAGNITUDES, so a learned value set Phi (DSC ``to_learn``
+    containing "phi") can rebuild ``states = onehot @ phi`` as a traced
+    function of the parameter vector (SURVEY.md §2 "DSC-ET": Phi "optionally
+    learned").
+    """
+    vals = space.values
+    if np.unique(vals).size != vals.size:
+        raise ValueError("values must be distinct to recover slot indicators")
+    return ((space.states[:, :, None] == vals[None, None, :])
+            & (space.states[:, :, None] != 0)).astype(np.float32)
+
+
 def binary_state_space(Hp: int, gamma: int, min_active: int = 2) -> StateSpace:
     """Binary {0,1} states (BSC / GSC supports / MCA / MMCA)."""
     return discrete_state_space(Hp, gamma, values=[1.0], min_active=min_active)

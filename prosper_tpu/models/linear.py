@@ -56,6 +56,19 @@ class LinearETModel(ETModel):
         self.space = states_mod.discrete_state_space(
             Hprime, gamma, values, min_active=min_active)
         self.sa: LinearStateArrays = state_arrays_from(self.space)
+        #: DSC sets this when the value set Phi is learned; the state arrays
+        #: are then rebuilt per step as traced functions of params["phi"]
+        self.learn_phi: bool = False
+        self._slot_onehot = None
+
+    def _sa_for(self, params) -> LinearStateArrays:
+        """State arrays for this step (traced when Phi is a learned param)."""
+        if self.learn_phi and "phi" in params:
+            from prosper_tpu.core.etstep import traced_state_arrays
+            return traced_state_arrays(self._slot_onehot,
+                                       self.sa.value_counts,
+                                       self.sa.abs_states, params["phi"])
+        return self.sa
 
     # -- prior hooks (subclass contract) --------------------------------------
 
@@ -89,23 +102,27 @@ class LinearETModel(ETModel):
         # E-step (hot loop) + global reduction of sufficient statistics
         # (over the data axis AND, when state sharding is on, the state axis)
         sigma2 = params["sigma"] ** 2
+        sa = self._sa_for(params)
         # the fused kernel targets production shapes; tiny toy dims (lane
-        # dimensions well under a VREG) fail Mosaic layout, so fall back
+        # dimensions well under a VREG) fail Mosaic layout, so fall back.
+        # Phi learning needs the extra phi_c/phi_M accumulators -> XLA path.
         use_pallas = (self.backend == "pallas" and state_axis is None
+                      and not self.learn_phi
                       and self.H >= 64 and self.D >= 64)
         if use_pallas:
             from prosper_tpu.ops.linear_pallas import linear_et_estep_pallas
             F, sums = linear_et_estep_pallas(
                 y, weight, params["W"], sigma2, self.log_odds(params),
-                self.sa, self.Hprime, self.signed_select, sched["beta"],
+                sa, self.Hprime, self.signed_select, sched["beta"],
                 sched["prior_beta"])
         else:
             F, sums = linear_et_estep(
                 y, weight, params["W"], sigma2, self.log_odds(params),
-                self.sa, self.Hprime, self.signed_select, sched["beta"],
+                sa, self.Hprime, self.signed_select, sched["beta"],
                 sched["prior_beta"], self.chunk, state_axis=state_axis,
                 n_state_shards=n_state_shards,
-                compute_dtype=self.compute_dtype)
+                compute_dtype=self.compute_dtype,
+                collect_phi=self.learn_phi, slot_onehot=self._slot_onehot)
         sums = jax.tree_util.tree_map(lambda a: maybe_psum(a, axis_name), sums)
         if state_axis is not None and n_state_shards > 1:
             sums = jax.tree_util.tree_map(
@@ -170,9 +187,9 @@ class LinearETModel(ETModel):
         return self._cached_infer(
             ("linear", top_L, self.chunk),
             lambda y_, p, b, pb: linear_et_posterior(
-                y_, p["W"], p["sigma"] ** 2, self.log_odds(p), self.sa,
-                self.Hprime, self.signed_select, top_L, b, pb,
-                chunk=self.chunk),
+                y_, p["W"], p["sigma"] ** 2, self.log_odds(p),
+                self._sa_for(p), self.Hprime, self.signed_select, top_L, b,
+                pb, chunk=self.chunk),
             y, params, beta, prior_beta)
 
 
@@ -247,8 +264,16 @@ class DSC(LinearETModel):
 
     Reference: prosper/em/camodels/dsc_et.py (SURVEY.md §2 "DSC-ET").
     ``params['pi']`` is the (K,) vector of non-zero value probabilities;
-    p(0) = 1 - sum(pi).  The value set Phi is static config (learning Phi is
-    scale-degenerate with W and is not supported, matching the common usage).
+    p(0) = 1 - sum(pi).
+
+    The value set Phi is static config by default; passing
+    ``to_learn=(..., "phi")`` makes it a learned (K,) parameter with a
+    closed-form M-step (SURVEY.md §2 "DSC-ET": Phi "optionally learned"):
+    the expected complete-data log-likelihood is quadratic in phi, so
+    phi <- M^-1 c with the phi_c/phi_M sufficient statistics from the
+    E-step.  When W is learned too, the (W -> aW, phi -> phi/a) scale
+    degeneracy is gauge-fixed after each update by rescaling so the
+    largest-|.| initial value keeps its magnitude (W absorbs the inverse).
     """
 
     signed_select = True
@@ -258,12 +283,41 @@ class DSC(LinearETModel):
         super().__init__(D, H, Hprime, gamma, values=list(phi),
                          to_learn=to_learn, chunk=chunk, backend=backend)
         self.phi = np.asarray(phi, np.float64)
+        if "phi" in self.to_learn:
+            self.learn_phi = True
+            self.param_names = ("W", "pi", "sigma", "phi")
+            self._slot_onehot = jnp.asarray(
+                states_mod.slot_value_onehot(self.space))
+            self._phi_anchor = int(np.argmax(np.abs(self.phi)))
+            self._phi_anchor_val = float(self.phi[self._phi_anchor])
 
     def standard_init(self, data, seed: int = 0):
         params = super().standard_init(data, seed)
         K = len(self.phi)
         params["pi"] = jnp.full((K,), 1.0 / (self.H * K), jnp.float32)
+        if self.learn_phi:
+            params["phi"] = jnp.asarray(self.phi, jnp.float32)
         return params
+
+    def m_step(self, params, sums, logA, logB):
+        new = super().m_step(params, sums, logA, logB)
+        if self.learn_phi:
+            K = len(self.phi)
+            M = sums["phi_M"]
+            ridge = 1e-6 * (jnp.trace(M) / K + 1.0)
+            phi = jnp.linalg.solve(M + ridge * jnp.eye(K, dtype=M.dtype),
+                                   sums["phi_c"])
+            if "W" in self.to_learn:
+                # gauge fix: keep |phi[anchor]| at its initial magnitude and
+                # let W absorb the scale (W s is invariant, so this projects
+                # the unconstrained optimum onto the gauge slice)
+                anchor = phi[self._phi_anchor]
+                alpha = jnp.where(jnp.abs(anchor) > 1e-6,
+                                  self._phi_anchor_val / anchor, 1.0)
+                phi = phi * alpha
+                new["W"] = new["W"] / alpha
+            new["phi"] = phi
+        return new
 
     def log_odds(self, params):
         pi = params["pi"]
@@ -287,6 +341,7 @@ class DSC(LinearETModel):
         p0 = max(1.0 - pi.sum(), 0.0)
         probs = np.concatenate([[p0], pi])
         probs = probs / probs.sum()
-        vals = np.concatenate([[0.0], self.phi])
+        phi = np.asarray(params.get("phi", self.phi), np.float64)
+        vals = np.concatenate([[0.0], phi])
         idx = rng.choice(len(vals), size=(N, self.H), p=probs)
         return vals[idx]

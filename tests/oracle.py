@@ -73,7 +73,10 @@ def linear_oracle_estep(y, W, sigma, pi_vec, values, Hp, gamma,
     sums = dict(
         xs=np.zeros((D, H)), ss=np.zeros((H, H)), s=np.zeros(H),
         abs=0.0, vc=np.zeros(len(values)), y2=0.0, n=0.0, F=0.0,
+        phi_c=np.zeros(len(values)),
+        phi_M=np.zeros((len(values), len(values))),
     )
+    gram = W.T @ W
     F_out = np.zeros(N)
     for n in range(N):
         states = enumerate_union(H, Hp, gamma, values, cand_all[n])
@@ -98,6 +101,11 @@ def linear_oracle_estep(y, W, sigma, pi_vec, values, Hp, gamma,
         sums["y2"] += w * float(y[n] @ y[n])
         sums["n"] += w
         sums["F"] += w * Fn
+        # value-set (Phi) learning stats: b_k = indicator of value k per unit
+        bk = ((states[:, :, None] == values[None, None, :])
+              & (states[:, :, None] != 0)).astype(np.float64)  # (T, H, K)
+        sums["phi_c"] += w * np.einsum("t,thk,h->k", q, bk, W.T @ y[n])
+        sums["phi_M"] += w * np.einsum("t,thk,hg,tgj->kj", q, bk, gram, bk)
     return F_out, sums
 
 
