@@ -149,18 +149,41 @@ class MeshRuntime:
     def replicated_sharding(self) -> NamedSharding:
         return NamedSharding(self.mesh, P())
 
-    def shard_data(self, tree):
-        """Device-put a pytree of (N, ...) arrays sharded over the data axis.
+    def _put(self, a, sh: NamedSharding):
+        """Place ``a`` with sharding ``sh``; multi-process aware.
 
-        N must be divisible by the number of data shards (pad upstream with
-        the data loader's static-shape padding if not).
+        With more than one process (SURVEY.md §5.8: the ``mpirun -n P``
+        analogue), each process holds only its *local* slice of the global
+        array (loaded via ``stride_data`` bounds), so placement goes through
+        ``jax.make_array_from_process_local_data``.  Arrays that already
+        carry the requested sharding pass through untouched.
+        """
+        import numpy as np
+        if (isinstance(a, jax.Array) and isinstance(a.sharding, NamedSharding)
+                and a.sharding.mesh == self.mesh
+                and a.sharding.spec == sh.spec):
+            return a
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sh, np.asarray(a))
+        return jax.device_put(a, sh)
+
+    def shard_data(self, tree):
+        """Place a pytree of datapoint-leading arrays sharded over 'data'.
+
+        Single-process: arrays are global and N must be divisible by the
+        number of data shards (pad upstream with the data loader's
+        static-shape padding if not).  Multi-process: each process passes
+        its process-local rows (``stride_data`` slice) and the global array
+        is assembled across processes.
         """
         sh = self.data_sharding()
-        return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)
+        return jax.tree_util.tree_map(lambda a: self._put(a, sh), tree)
 
     def replicate(self, tree):
+        """Replicate a pytree onto every device (all processes pass the
+        identical value in the multi-process case)."""
         sh = self.replicated_sharding()
-        return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)
+        return jax.tree_util.tree_map(lambda a: self._put(a, sh), tree)
 
     def shard_step(self, step_fn):
         """Wrap ``step_fn(params, data, sched, rng) -> (params, F, scalars)``
