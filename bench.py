@@ -1,12 +1,25 @@
 """Benchmark harness — prints ONE JSON line with the headline metric.
 
-Metric (BASELINE.json): E-step datapoints/s/chip on the scaling config
-"BSC on natural image patches": D=16x16=256, H=300, H'=8, gamma=4.
-
+Headline metric (BASELINE.json): E-step datapoints/s/chip on the scaling
+config "BSC on natural image patches": D=16x16=256, H=300, H'=8, gamma=4.
 The reference publishes no perf numbers (BASELINE.md), so ``vs_baseline`` is
 measured against a reference-equivalent vectorized NumPy/BLAS implementation
-of the same truncated E-step running on this host's CPU — the reference's
-compute stack (SURVEY.md §0 "all heavy math goes through NumPy->BLAS").
+of the same truncated E-step on this host's CPU — the reference's compute
+stack (SURVEY.md §0 "all heavy math goes through NumPy->BLAS").
+
+Beyond the headline, ``families`` holds a reproducible per-model-family
+matrix (VERDICT r1: only BSC regenerated from the harness; TSC/DSC/GSC/
+MCA/MMCA numbers had no script), and the headline carries achieved
+TFLOP/s + useful-FLOPs MFU (VERDICT r1 #10) so the driver's BENCH_r*.json
+tracks efficiency as well as throughput.
+
+Timing note: every timed group ends with a host fetch of a scalar derived
+from the iteration chain — ``block_until_ready`` alone does not reliably
+fence work through this environment's TPU relay (measured: impossible
+dp/s without the fetch).
+
+Run ``python bench.py`` for the full matrix, ``python bench.py bsc tsc``
+for a subset.
 """
 
 import json
@@ -16,21 +29,23 @@ import time
 import numpy as np
 
 
-# ---- config: the patches-scale benchmark ------------------------------------
-D, H, Hp, GAMMA = 256, 300, 8, 4
+# ---- configs ----------------------------------------------------------------
+D, H, Hp, GAMMA = 256, 300, 8, 4        # headline: BSC patches config
 N_TPU = 131072
 CHUNK = 8192
 N_CPU = 2048
 ITERS = 10
 
+#: v5e bf16 peak (the MXU rate every GEMM here runs at under default
+#: precision: bf16 multiply / f32 accumulate)
+PEAK_TFLOPS = 197.0
+
 
 def numpy_baseline_dps(y, W, sigma, pi):
     """Reference-equivalent vectorized NumPy E-step (suff stats incl.)."""
     import itertools
-    from scipy.special import logsumexp
 
     N = y.shape[0]
-    # state matrix over candidates (2..gamma active)
     states = []
     for k in range(2, GAMMA + 1):
         for sup in itertools.combinations(range(Hp), k):
@@ -38,7 +53,6 @@ def numpy_baseline_dps(y, W, sigma, pi):
             s[list(sup)] = 1.0
             states.append(s)
     SM = np.array(states)                     # (S, Hp)
-    S = SM.shape[0]
     log_odds = np.log(pi) - np.log1p(-pi)
     inv2s2 = 0.5 / sigma ** 2
 
@@ -75,60 +89,147 @@ def numpy_baseline_dps(y, W, sigma, pi):
     return N / dt
 
 
+def linear_flops_per_dp(Dd, Hh, Hhp, S, K=1):
+    """(raw, useful) FLOPs/datapoint of the fused linear-family E-step.
+
+    raw counts the executed MXU work including the one-hot gather/scatter
+    GEMMs (2*Hp*H^2 MACs each for T-gather and ss-scatter — XLA flat
+    gathers measured 100x below HBM speed on TPU, tools/probe_xla_flat.py,
+    so one-hot GEMMs ARE the executed formulation); useful counts only the
+    algorithmically necessary work an ideal sparse implementation needs.
+    K>1 (TSC/DSC) multiplies the candidate-table width.
+    """
+    necessary = 2 * (2 * Dd * Hh) + 2 * (K * Hhp + (K * Hhp) ** 2) * S
+    gather = 2 * 2 * (K * Hhp) * Hh * Hh
+    return necessary + gather, necessary
+
+
+def _measure_step(model, params, N, iters, groups=3):
+    """Best-of-groups EM-step throughput with forced host sync."""
+    import jax
+    from prosper_tpu.engine.anneal import LinearAnnealing
+    from prosper_tpu.models.base import make_blank_data, sched_from_anneal
+
+    rng = np.random.default_rng(1)
+    y = rng.standard_normal((N, model.D)).astype(np.float32)
+    data = make_blank_data(y)
+    sched = sched_from_anneal(LinearAnnealing(10))
+    key = jax.random.PRNGKey(0)
+
+    step = model.jit_step()
+    p, F, s = step(params, data, sched, key)      # warmup/compile
+    float(np.asarray(s["F_mean"]))
+    data2 = dict(data, F_prev=F)
+    best = 0.0
+    for _ in range(groups):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            p, F, s = step(p, data2, sched, key)
+        float(np.asarray(s["F_mean"]))            # force full sync
+        best = max(best, N * iters / (time.perf_counter() - t0))
+    return best
+
+
+def _family_entry(dps, flops=None):
+    e = {"dps": round(dps, 1)}
+    if flops is not None:
+        raw, useful = flops
+        e["tflops_raw"] = round(dps * raw / 1e12, 2)
+        e["mfu_useful_pct"] = round(100 * dps * useful / 1e12 / PEAK_TFLOPS, 2)
+    return e
+
+
 def main():
     import jax
     import jax.numpy as jnp
-    from prosper_tpu.engine.anneal import LinearAnnealing
-    from prosper_tpu.models.base import make_blank_data, sched_from_anneal
-    from prosper_tpu.models.linear import BSC
+    from prosper_tpu.models.gsc import GSC
+    from prosper_tpu.models.linear import BSC, DSC, TSC
+    from prosper_tpu.models.mca import MCA, MMCA
+
+    only = set(a.lower() for a in sys.argv[1:])
+
+    def want(name):
+        return not only or name in only
 
     rng = np.random.default_rng(0)
     W0 = rng.standard_normal((D, H)).astype(np.float32)
     pi0, sigma0 = 2.0 / H, 1.0
 
-    y = rng.standard_normal((N_TPU, D)).astype(np.float32)
-    data = make_blank_data(y)
-    sched = sched_from_anneal(LinearAnnealing(10))
-    key = jax.random.PRNGKey(0)
+    results, families = {}, {}
 
-    def measure(backend):
-        model = BSC(D, H, Hp, GAMMA, chunk=CHUNK, backend=backend)
-        params = {"W": jnp.asarray(W0), "pi": jnp.float32(pi0),
-                  "sigma": jnp.float32(sigma0)}
-        step = model.jit_step()
-        p, F, s = step(params, data, sched, key)      # warmup/compile
-        jax.block_until_ready(p)
-        data2 = dict(data, F_prev=F)
-        best = 0.0
-        for _ in range(3):                            # best-of-3 groups
-            t0 = time.perf_counter()
-            for _ in range(ITERS):
-                p, F, s = step(p, data2, sched, key)
-            jax.block_until_ready(p)
-            best = max(best, N_TPU * ITERS / (time.perf_counter() - t0))
-        return best
+    # ---- headline: BSC patches config, both backends ------------------------
+    if want("bsc"):
+        for backend in ("pallas", "xla"):
+            try:
+                model = BSC(D, H, Hp, GAMMA, chunk=CHUNK, backend=backend)
+                params = {"W": jnp.asarray(W0), "pi": jnp.float32(pi0),
+                          "sigma": jnp.float32(sigma0)}
+                results[backend] = _measure_step(model, params, N_TPU, ITERS)
+            except Exception as e:                  # noqa: BLE001
+                print(f"[bench] bsc/{backend} failed: {e!r}", file=sys.stderr)
+        S_bsc = model.sa.states.shape[0]
+        families["bsc"] = _family_entry(
+            max(results.values()), linear_flops_per_dp(D, H, Hp, S_bsc))
+        families["bsc"]["backends"] = {k: round(v, 1)
+                                       for k, v in results.items()}
 
-    # measure both formulations (fused pallas kernel + XLA path) and report
-    # the better one; either alone can lose to run-to-run noise
-    results = {}
-    for backend in ("pallas", "xla"):
+    # ---- family matrix (BASELINE.md row configs) ----------------------------
+    def run_family(name, factory, N, iters=5, flops=None, backend_note=None):
+        if not want(name):
+            return
         try:
-            results[backend] = measure(backend)
+            model = factory()
+            params = model.standard_init(
+                {"y": np.random.default_rng(2).standard_normal(
+                    (256, model.D)).astype(np.float32)}, seed=4)
+            dps = _measure_step(model, params, N, iters, groups=2)
+            fl = flops(model) if flops else None
+            families[name] = _family_entry(dps, fl)
+            if backend_note:
+                families[name]["backend"] = backend_note
         except Exception as e:                      # noqa: BLE001
-            print(f"[bench] {backend} backend failed: {e!r}", file=sys.stderr)
-    tpu_dps = max(results.values())
+            print(f"[bench] {name} failed: {e!r}", file=sys.stderr)
 
-    y_cpu = np.asarray(y[:N_CPU], np.float64)
-    cpu_dps = numpy_baseline_dps(y_cpu, W0.astype(np.float64), sigma0, pi0)
+    run_family(
+        "tsc", lambda: TSC(D, H, 6, 3, chunk=CHUNK, backend="pallas"),
+        N_TPU, flops=lambda m: linear_flops_per_dp(
+            D, H, 6, m.sa.states.shape[0], K=2), backend_note="pallas")
+    run_family(
+        "dsc", lambda: DSC(D, H, 5, 3, phi=(-1.0, 1.0, 2.0), chunk=CHUNK,
+                           backend="pallas"),
+        N_TPU, flops=lambda m: linear_flops_per_dp(
+            D, H, 5, m.sa.states.shape[0], K=3), backend_note="pallas")
+    # big-S on-chip path (SURVEY §5.7 motivation: S explodes combinatorially;
+    # single-chip state-replicated here, state-sharded on a mesh)
+    run_family("tsc_bigs", lambda: TSC(64, 32, 10, 5, chunk=1024),
+               16384, iters=3)
+    run_family("gsc", lambda: GSC(64, 100, 6, 3, chunk=2048), 16384)
+    run_family("mca", lambda: MCA(64, 100, 6, 3, chunk=256), 16384)
+    run_family("mmca", lambda: MMCA(64, 100, 6, 3, chunk=256), 16384)
 
-    print(json.dumps({
-        "metric": "BSC-ET E-step throughput (patches config D=256 H=300 Hp=8 gamma=4)",
-        "value": round(tpu_dps, 1),
-        "unit": "datapoints/s/chip",
-        "vs_baseline": round(tpu_dps / cpu_dps, 2),
-        "baseline": {"numpy_cpu_dps": round(cpu_dps, 1)},
-        "backends": {k: round(v, 1) for k, v in results.items()},
-    }))
+    # ---- CPU reference baseline --------------------------------------------
+    out = {}
+    if want("bsc"):
+        y_cpu = np.random.default_rng(0).standard_normal(
+            (N_CPU, D)).astype(np.float64)
+        cpu_dps = numpy_baseline_dps(y_cpu, W0.astype(np.float64),
+                                     sigma0, pi0)
+        tpu_dps = max(results.values())
+        raw, useful = linear_flops_per_dp(D, H, Hp, 154)
+        out = {
+            "metric": ("BSC-ET E-step throughput "
+                       "(patches config D=256 H=300 Hp=8 gamma=4)"),
+            "value": round(tpu_dps, 1),
+            "unit": "datapoints/s/chip",
+            "vs_baseline": round(tpu_dps / cpu_dps, 2),
+            "baseline": {"numpy_cpu_dps": round(cpu_dps, 1)},
+            "tflops_raw": round(tpu_dps * raw / 1e12, 2),
+            "mfu_useful_pct": round(
+                100 * tpu_dps * useful / 1e12 / PEAK_TFLOPS, 2),
+            "peak_tflops_bf16": PEAK_TFLOPS,
+        }
+    out["families"] = families
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

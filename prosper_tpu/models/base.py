@@ -142,6 +142,31 @@ class ETModel:
 
     # -- shared ET data-selection masks ---------------------------------------
 
+    def partial_mask(self, data, sched, rng_partial, axis_name):
+        """Exact-count random subsampling mask (reference:
+        CAModel.select_partial_data's 'partial' channel)."""
+        from prosper_tpu.core.select import exact_count_mask
+
+        valid = data["valid"]
+        N = valid.shape[0]
+        if axis_name is not None:
+            rng_partial = jax.random.fold_in(
+                rng_partial, jax.lax.axis_index(axis_name))
+        return jax.lax.cond(
+            sched["partial"] >= 1.0,
+            lambda: valid,
+            lambda: exact_count_mask(rng_partial, N, sched["partial"],
+                                     valid=valid))
+
+    def ncut_weight(self, pmask, F_rank, sched, logA, N_total, axis_name):
+        """Apply the ET data cut on top of ``pmask``, ranking datapoints by
+        ``F_rank`` (psum'd histogram-quantile threshold)."""
+        from prosper_tpu.core.select import (global_quantile_threshold,
+                                             ncut_keep_count)
+        keep = ncut_keep_count(N_total, sched["Ncut_factor"], logA)
+        thresh = global_quantile_threshold(F_rank, pmask, keep, axis_name)
+        return pmask * (F_rank >= thresh).astype(jnp.float32)
+
     def et_weight_mask(self, log_pi_active, data, sched, rng_partial,
                        axis_name):
         """Combined partial-subsampling + Ncut mask (static shapes).
@@ -155,32 +180,17 @@ class ETModel:
         Returns (weight (N,), logA, logB, N_total).
         """
         from prosper_tpu.core.etstep import truncated_prior_logmass
-        from prosper_tpu.core.select import (
-            exact_count_mask, global_quantile_threshold, ncut_keep_count)
         from prosper_tpu.parallel.mesh import maybe_psum
 
-        valid = data["valid"]
-        N = valid.shape[0]
-        if axis_name is not None:
-            rng_partial = jax.random.fold_in(
-                rng_partial, jax.lax.axis_index(axis_name))
-        pmask = jax.lax.cond(
-            sched["partial"] >= 1.0,
-            lambda: valid,
-            lambda: exact_count_mask(rng_partial, N, sched["partial"],
-                                     valid=valid))
-
+        pmask = self.partial_mask(data, sched, rng_partial, axis_name)
         logA, logB = truncated_prior_logmass(log_pi_active, self.H, self.gamma)
-        N_total = maybe_psum(jnp.sum(valid), axis_name)
+        N_total = maybe_psum(jnp.sum(data["valid"]), axis_name)
 
-        def with_ncut():
-            keep = ncut_keep_count(N_total, sched["Ncut_factor"], logA)
-            thresh = global_quantile_threshold(data["F_prev"], pmask, keep,
-                                               axis_name)
-            return pmask * (data["F_prev"] >= thresh).astype(jnp.float32)
-
-        weight = jax.lax.cond(sched["Ncut_factor"] > 0, with_ncut,
-                              lambda: pmask)
+        weight = jax.lax.cond(
+            sched["Ncut_factor"] > 0,
+            lambda: self.ncut_weight(pmask, data["F_prev"], sched, logA,
+                                     N_total, axis_name),
+            lambda: pmask)
         return weight, logA, logB, N_total
 
     # -- driver plumbing ------------------------------------------------------

@@ -44,13 +44,18 @@ class LinearETModel(ETModel):
 
     def __init__(self, D, H, Hprime, gamma, values, to_learn=None, chunk=2048,
                  min_active: int = 2, backend: str = "xla",
-                 compute_dtype=None):
+                 compute_dtype=None, ncut_current: bool = False):
         super().__init__(D, H, Hprime, gamma, to_learn, chunk)
         if backend not in ("xla", "pallas"):
             raise ValueError(f"backend must be 'xla' or 'pallas', got {backend!r}")
         #: 'pallas' switches the E-step to the fused VMEM kernel
         #: (ops/linear_pallas.py; single-device path only)
         self.backend = backend
+        #: reference-parity Ncut semantics: rank the data cut by the CURRENT
+        #: iteration's free energies (SURVEY.md §3.1) at the price of a
+        #: second E-step pass while the cut is active; the default one-pass
+        #: design ranks by the previous iteration's F (documented deviation)
+        self.ncut_current = bool(ncut_current)
         #: e.g. jnp.bfloat16 — throughput mode for the large GEMMs (XLA path)
         self.compute_dtype = compute_dtype
         self.space = states_mod.discrete_state_space(
@@ -94,13 +99,6 @@ class LinearETModel(ETModel):
         rng_noise, rng_partial = jax.random.split(rng)
         params = self.noisify(params, sched, rng_noise)
 
-        # partial-subsampling + ET Ncut cut (previous iteration's F ranks
-        # datapoints — one-pass design; see models/base.py docs)
-        weight, logA, logB, N_total = self.et_weight_mask(
-            self.log_pi_active(params), data, sched, rng_partial, axis_name)
-
-        # E-step (hot loop) + global reduction of sufficient statistics
-        # (over the data axis AND, when state sharding is on, the state axis)
         sigma2 = params["sigma"] ** 2
         sa = self._sa_for(params)
         # the fused kernel targets production shapes; tiny toy dims (lane
@@ -109,20 +107,52 @@ class LinearETModel(ETModel):
         use_pallas = (self.backend == "pallas" and state_axis is None
                       and not self.learn_phi
                       and self.H >= 64 and self.D >= 64)
-        if use_pallas:
-            from prosper_tpu.ops.linear_pallas import linear_et_estep_pallas
-            F, sums = linear_et_estep_pallas(
-                y, weight, params["W"], sigma2, self.log_odds(params),
-                sa, self.Hprime, self.signed_select, sched["beta"],
-                sched["prior_beta"])
-        else:
-            F, sums = linear_et_estep(
+
+        def estep(weight):
+            # E-step (hot loop); the mask only scales accumulated statistics
+            # — per-datapoint F values are mask-independent
+            if use_pallas:
+                from prosper_tpu.ops.linear_pallas import linear_et_estep_pallas
+                return linear_et_estep_pallas(
+                    y, weight, params["W"], sigma2, self.log_odds(params),
+                    sa, self.Hprime, self.signed_select, sched["beta"],
+                    sched["prior_beta"])
+            return linear_et_estep(
                 y, weight, params["W"], sigma2, self.log_odds(params),
                 sa, self.Hprime, self.signed_select, sched["beta"],
                 sched["prior_beta"], self.chunk, state_axis=state_axis,
                 n_state_shards=n_state_shards,
                 compute_dtype=self.compute_dtype,
                 collect_phi=self.learn_phi, slot_onehot=self._slot_onehot)
+
+        if not self.ncut_current:
+            # default one-pass design: the previous iteration's F ranks the
+            # Ncut (one-iteration lag; see models/base.py docs)
+            weight, logA, logB, N_total = self.et_weight_mask(
+                self.log_pi_active(params), data, sched, rng_partial,
+                axis_name)
+            F, sums = estep(weight)
+        else:
+            # reference-parity mode (SURVEY.md §3.1 select_partial_data):
+            # rank the cut by the CURRENT iteration's free energies.  The
+            # reference gets this free by materialising all (N, S)
+            # log-joints; the streaming TPU E-step instead runs twice when
+            # the cut is active (pass 1 ranks, pass 2 accumulates) — the
+            # lax.cond skips pass 2 entirely while Ncut_factor == 0.
+            from prosper_tpu.core.etstep import truncated_prior_logmass
+            pmask = self.partial_mask(data, sched, rng_partial, axis_name)
+            logA, logB = truncated_prior_logmass(
+                self.log_pi_active(params), self.H, self.gamma)
+            N_total = maybe_psum(jnp.sum(valid), axis_name)
+            F, sums = estep(pmask)
+
+            def recut(_):
+                w = self.ncut_weight(pmask, F, sched, logA, N_total,
+                                     axis_name)
+                return estep(w)[1]
+
+            sums = jax.lax.cond(sched["Ncut_factor"] > 0, recut,
+                                lambda _: sums, None)
         sums = jax.tree_util.tree_map(lambda a: maybe_psum(a, axis_name), sums)
         if state_axis is not None and n_state_shards > 1:
             sums = jax.tree_util.tree_map(
@@ -202,9 +232,10 @@ class BSC(LinearETModel):
     signed_select = False
 
     def __init__(self, D, H, Hprime, gamma, to_learn=None, chunk=2048,
-                 backend: str = "xla"):
+                 backend: str = "xla", ncut_current: bool = False):
         super().__init__(D, H, Hprime, gamma, values=[1.0],
-                         to_learn=to_learn, chunk=chunk, backend=backend)
+                         to_learn=to_learn, chunk=chunk, backend=backend,
+                         ncut_current=ncut_current)
 
     def log_odds(self, params):
         pi = params["pi"]
@@ -233,9 +264,10 @@ class TSC(LinearETModel):
     signed_select = True
 
     def __init__(self, D, H, Hprime, gamma, to_learn=None, chunk=2048,
-                 backend: str = "xla"):
+                 backend: str = "xla", ncut_current: bool = False):
         super().__init__(D, H, Hprime, gamma, values=[-1.0, 1.0],
-                         to_learn=to_learn, chunk=chunk, backend=backend)
+                         to_learn=to_learn, chunk=chunk, backend=backend,
+                         ncut_current=ncut_current)
 
     def log_odds(self, params):
         pi = params["pi"]
@@ -279,9 +311,11 @@ class DSC(LinearETModel):
     signed_select = True
 
     def __init__(self, D, H, Hprime, gamma, phi=( -1.0, 1.0, 2.0),
-                 to_learn=None, chunk=2048, backend: str = "xla"):
+                 to_learn=None, chunk=2048, backend: str = "xla",
+                 ncut_current: bool = False):
         super().__init__(D, H, Hprime, gamma, values=list(phi),
-                         to_learn=to_learn, chunk=chunk, backend=backend)
+                         to_learn=to_learn, chunk=chunk, backend=backend,
+                         ncut_current=ncut_current)
         self.phi = np.asarray(phi, np.float64)
         if "phi" in self.to_learn:
             self.learn_phi = True

@@ -57,12 +57,29 @@ def kernel(scal_ref, y_ref, w_ref, W_ref, gram_ref, gdiag_ref,
 
     P = jnp.dot(y, W, preferred_element_type=f32)          # (Ct, H)
 
+    # contract dim-0 x dim-0 without materializing a transpose (Mosaic
+    # lowers explicit .T as a real VMEM transpose; the MXU loads the
+    # stationary operand transposed natively, so dot_general is free)
+    dg0 = lambda A, B: jax.lax.dot_general(
+        A, B, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+
     col = jax.lax.broadcasted_iota(jnp.int32, (Ct, H), 1)
     if mode == "no_sel":
         # static striped one-hots: no argmax chain
         hots = [(col % Hp == a).astype(f32) * (col < Hp).astype(f32) +
                 (col == a).astype(f32) * 0.0 for a in range(Hp)]
         hots = [(col == a).astype(f32) for a in range(Hp)]
+    elif mode == "selfast":
+        # timing ceiling: drop the first-index tie-break (WRONG on exact
+        # ties) — measures what the 8-pass argmax costs beyond max+mask
+        w_norm = jnp.sqrt(jnp.maximum(gdiag, 1e-30))
+        s_work = P / w_norm
+        hots = []
+        for _ in range(Hp):
+            mx = jnp.max(s_work, axis=1, keepdims=True)
+            hot = (s_work == mx)
+            hots.append(hot.astype(f32))
+            s_work = jnp.where(hot, -jnp.inf, s_work)
     else:
         w_norm = jnp.sqrt(jnp.maximum(gdiag, 1e-30))
         score = P / w_norm
@@ -165,10 +182,13 @@ def kernel(scal_ref, y_ref, w_ref, W_ref, gram_ref, gdiag_ref,
     for a in range(Hp):
         s_full = s_full + hots[a] * s_cand[:, a][:, None]
     sw = s_full * w2
-    tile_xs = jnp.dot(y.T, sw, preferred_element_type=f32)
+    if mode in ("dg", "selfast", "dg_noss"):
+        tile_xs = dg0(y, sw)
+    else:
+        tile_xs = jnp.dot(y.T, sw, preferred_element_type=f32)
     tile_s = jnp.sum(sw, axis=0, keepdims=True)
 
-    if mode == "no_ss":
+    if mode in ("no_ss", "dg_noss"):
         tile_ss = jnp.zeros((H, H), f32) + jnp.sum(ss_cand)
     elif mode in ("ss_stacked", "stacked"):
         # ONE (H, Hp*Ct) @ (Hp*Ct, H) GEMM instead of Hp separate GEMMs:
@@ -182,6 +202,13 @@ def kernel(scal_ref, y_ref, w_ref, W_ref, gram_ref, gdiag_ref,
         wcat = jnp.concatenate([hots[a] * w2 for a in range(Hp)], axis=0)
         T2cat = jnp.concatenate(T2s, axis=0)
         tile_ss = jnp.dot(wcat.T, T2cat, preferred_element_type=f32)
+    elif mode in ("dg", "selfast"):
+        tile_ss = jnp.zeros((H, H), f32)
+        for a in range(Hp):
+            T2a = jnp.zeros((Ct, H), f32)
+            for b in range(Hp):
+                T2a = T2a + ss_cand[:, a * Hp + b][:, None] * hots[b]
+            tile_ss = tile_ss + dg0(hots[a] * w2, T2a)
     else:
         tile_ss = jnp.zeros((H, H), f32)
         for a in range(Hp):
