@@ -30,7 +30,8 @@ def planted_dictionary(D, H, active_pixels=8, intensity=10.0, seed=0):
 
 def main(N=1_000_000, D=256, H=300, Hp=8, gamma=4, iters=120, seed=0,
          backend="xla", scanned=True, revive=(10, 0.85, 0.75, 0.1),
-         reseed_worst_frac=0.02, refine_gamma=0, refine_iters=40):
+         reseed_worst_frac=0.02, refine_gamma=0, refine_iters=40,
+         split_norm_frac=0.0, split_coact=False):
     from prosper_tpu.data.patches import pad_for_mesh
 
     model = BSC(D, H, Hp, gamma, chunk=8192, backend=backend)
@@ -51,7 +52,8 @@ def main(N=1_000_000, D=256, H=300, Hp=8, gamma=4, iters=120, seed=0,
     em = EM(model, anneal, padded, seed=seed + 2,
             params=model.standard_init(data, seed=seed + 3),
             revive_duplicates=revive,
-            reseed_worst_frac=reseed_worst_frac)
+            reseed_worst_frac=reseed_worst_frac,
+            split_norm_frac=split_norm_frac, split_coact=split_coact)
     t0 = time.time()
     params = em.run_scanned() if scanned else em.run(verbose=False)
     wall = time.time() - t0
@@ -75,7 +77,8 @@ def main(N=1_000_000, D=256, H=300, Hp=8, gamma=4, iters=120, seed=0,
         anneal2["T"] = 1.0
         em2 = EM(model2, anneal2, padded, seed=seed + 4, params=params,
                  revive_duplicates=revive,
-                 reseed_worst_frac=reseed_worst_frac)
+                 reseed_worst_frac=reseed_worst_frac,
+                 split_norm_frac=split_norm_frac, split_coact=split_coact)
         params = em2.run_scanned() if scanned else em2.run(verbose=False)
         _, cosines = cosine_match(np.asarray(params["W"]), gt["W"])
         rec = int((cosines > 0.8).sum())

@@ -25,6 +25,62 @@ import numpy as np
 from prosper_tpu.models.base import make_blank_data, sched_from_anneal
 
 
+def coactivation_split(w_b: np.ndarray, Y: np.ndarray,
+                       support_frac: float = 0.25,
+                       top_frac: float = 0.05):
+    """Split a suspected blend column into its two constituent atoms.
+
+    Diagnosis (ROUND1.md): at the patches scale the stable failures are
+    *blends* — one learned column w_b ~= a1 + a2 with near-disjoint
+    supports (norm ~sqrt(2)x median, doubled support).  Among datapoints
+    that correlate with w_b, most contain only ONE of the two atoms
+    (P(both) ~ pi^2), so a1's pixels co-vary together and anti-correlate
+    with a2's pixels: the top eigenvector of the support-restricted,
+    centered covariance is ~indicator(a1) - indicator(a2), and its sign
+    partitions the support.  Returns (w1, w2) or None when no clean
+    two-group structure exists (the caller falls back to re-seeding).
+    """
+    thr = support_frac * float(np.max(np.abs(w_b)))
+    sup = np.flatnonzero(np.abs(w_b) > thr)
+    if sup.size < 4:
+        return None
+    c = Y @ w_b
+    k = max(64, int(top_frac * Y.shape[0]))
+    if k >= c.size:
+        return None
+    rows = np.argpartition(-c, k)[:k]
+    Ys = Y[rows][:, sup]
+    Ys = Ys - Ys.mean(axis=0)
+    C = Ys.T @ Ys
+    evals, evecs = np.linalg.eigh(C)
+    v = evecs[:, -1]
+    m1 = v >= 0.0
+    if m1.sum() < 2 or (~m1).sum() < 2:
+        return None
+    # a true blend's groups co-vary within and anti-correlate across (a
+    # selected row contains one atom or the other); a single atom shows a
+    # flat correlation structure (mildly negative everywhere from the
+    # top-k selection's collider bias).  Demand real within-vs-cross
+    # contrast before splitting.
+    d = np.sqrt(np.maximum(np.diag(C), 1e-12))
+    R = C / np.outer(d, d)
+    off = ~np.eye(sup.size, dtype=bool)
+    cross = float(R[np.ix_(m1, ~m1)].mean())
+    within_mask = (np.outer(m1, m1) | np.outer(~m1, ~m1)) & off
+    within = float(R[within_mask].mean())
+    if within - cross < 0.3:
+        return None
+    w1 = np.zeros_like(w_b)
+    w2 = np.zeros_like(w_b)
+    w1[sup[m1]] = w_b[sup[m1]]
+    w2[sup[~m1]] = w_b[sup[~m1]]
+    # reject splits that did not separate energy meaningfully
+    n1, n2 = np.linalg.norm(w1), np.linalg.norm(w2)
+    if min(n1, n2) < 0.25 * max(n1, n2):
+        return None
+    return w1, w2
+
+
 class EM:
     """EM training loop.
 
@@ -49,6 +105,7 @@ class EM:
                  checkpoint_every: int = 0,
                  revive_duplicates: Optional[tuple] = None,
                  split_norm_frac: float = 0.0,
+                 split_coact: bool = False,
                  reseed_worst_frac: float = 0.0):
         self.model = model
         self.anneal = anneal
@@ -90,6 +147,13 @@ class EM:
         #: into a symmetric +/- perturbation pair instead of a random
         #: re-init; 0 disables
         self.split_norm_frac = float(split_norm_frac)
+        #: with split_norm_frac: split suspected blends by co-activation
+        #: clustering of their support pixels (coactivation_split) instead of
+        #: a symmetric +/- perturbation — the round-1 measured-negative
+        #: symmetric split guessed the partition; this one reads it off the
+        #: data.  Falls back to re-seeding when no two-group structure exists
+        self.split_coact = bool(split_coact)
+        self._coact_sample = None
         #: with revive_duplicates: re-seed freed columns from datapoints in
         #: the worst-explained tail (bottom reseed_worst_frac of the
         #: per-datapoint free energy F_prev) instead of uniformly — missing
@@ -283,19 +347,29 @@ class EM:
                        if norms[h] > split_norm_frac * median_norm])
 
         def reinit(col: int) -> None:
-            # prefer splitting a suspected blend: seed the freed column and
-            # the blend with symmetric +/- perturbations of the blend so the
-            # E-step can break the symmetry and separate the fused atoms
-            if split_pool:
+            # prefer splitting a suspected blend: either read the partition
+            # off the data (co-activation clustering) or seed the freed
+            # column and the blend with symmetric +/- perturbations so the
+            # E-step can break the symmetry
+            while split_pool:
                 b = split_pool.pop(0)
-                if b not in used:
+                if b in used:
+                    continue
+                if self.split_coact:
+                    parts = coactivation_split(
+                        W[:, b].astype(np.float64), self._coact_rows())
+                    if parts is None:
+                        continue          # not a clean blend: next candidate
+                    W[:, b] = parts[0].astype(np.float32)
+                    W[:, col] = parts[1].astype(np.float32)
+                else:
                     eps = 0.3 * norms[b] / np.sqrt(W.shape[0])
                     noise = (eps * self._revive_rng.standard_normal(
                         W.shape[0])).astype(np.float32)
                     W[:, col] = W[:, b] + noise
                     W[:, b] = W[:, b] - noise
-                    used.add(b)
-                    return
+                used.add(b)
+                return
             idx = int(rows[self._revive_rng.integers(0, rows.size)])
             sample = np.asarray(jax.device_get(self.data["y"][idx]))
             noise = self._revive_rng.standard_normal(W.shape[0])
@@ -320,6 +394,20 @@ class EM:
             if self.runtime is not None:
                 new_W = self.runtime.replicate(new_W)
             self.params = dict(self.params, W=new_W)
+
+    def _coact_rows(self) -> np.ndarray:
+        """Cached host-side subsample of valid datapoints for blend
+        splitting (bounded device->host transfer, fetched once per run)."""
+        if self._coact_sample is None:
+            rows = self._revive_valid_rows
+            if rows is None:
+                valid = np.asarray(jax.device_get(self.data["valid"]))
+                rows = self._revive_valid_rows = np.flatnonzero(valid > 0)
+            take = rows[:: max(1, rows.size // 65536)][:65536]
+            self._coact_sample = np.asarray(
+                jax.device_get(self.data["y"][jnp.asarray(take)]),
+                np.float64)
+        return self._coact_sample
 
     def _maybe_checkpoint(self) -> None:
         if (self.checkpoint_path and self.checkpoint_every
