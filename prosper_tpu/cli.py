@@ -213,9 +213,11 @@ def cmd_train(args) -> int:
     if ckpt_rng is not None:
         # deterministic restart: continue the PRNG chain recorded in the
         # checkpoint rather than replaying the config seed's early-schedule
-        # noise values (ADVICE r1; revival RNG is still not resumed — see
-        # EM.revive_duplicates note)
+        # noise values (ADVICE r1)
         em.rng = ckpt_rng
+    if "revive_rng" in ckpt_extra:
+        # ... and the revival PCG64 chain, so revivals replay identically
+        em.restore_revival_rng(ckpt_extra["revive_rng"])
     if args.scan:
         params = em.run_scanned()
     else:

@@ -127,9 +127,10 @@ class EM:
         #: "dead" columns whose norm has decayed below dead_norm_frac times
         #: the median column norm (an unused atom receives ~no sufficient
         #: statistics, so the ridge M-step shrinks it toward zero).
-        #: NOTE: revival RNG draws are not part of the checkpoint state — a
-        #: resumed run's revivals may differ from the uninterrupted run
-        #: (recovery statistics, not bitwise trajectories, are preserved)
+        #: Revival fires BEFORE the checkpoint and the checkpoint carries
+        #: the revival PCG64 state (extra["revive_rng"]), so a resumed run
+        #: replays the identical trajectory, revivals included
+        #: (tests/test_resume.py::test_resume_equivalence_with_revival)
         if revive_duplicates is not None:
             if not 2 <= len(revive_duplicates) <= 4:
                 raise ValueError(
@@ -270,8 +271,11 @@ class EM:
             if self.dlog is not None:
                 self.dlog.append_all(rec)
             self.anneal.next()
-        self._maybe_checkpoint()
+        # revival BEFORE checkpoint: the checkpoint then captures the
+        # post-revival params and revival-RNG state, so a resumed run
+        # replays the identical trajectory (revival included)
         self._maybe_revive_duplicates()
+        self._maybe_checkpoint()
         return self.params
 
     def step_once(self, verbose: bool = False) -> Dict:
@@ -306,8 +310,11 @@ class EM:
                    f"T={scalars['T']:.2f} dt={scalars['dt']*1e3:.1f}ms")
 
         self.anneal.next()
-        self._maybe_checkpoint()
+        # revival BEFORE checkpoint: the checkpoint then captures the
+        # post-revival params and revival-RNG state, so a resumed run
+        # replays the identical trajectory (revival included)
         self._maybe_revive_duplicates()
+        self._maybe_checkpoint()
         return scalars
 
     def _maybe_revive_duplicates(self) -> None:
@@ -395,6 +402,23 @@ class EM:
                 new_W = self.runtime.replicate(new_W)
             self.params = dict(self.params, W=new_W)
 
+    def revival_rng_state(self) -> np.ndarray:
+        """Revival PCG64 state as a (6,) uint64 array (checkpointable)."""
+        st = self._revive_rng.bit_generator.state
+        s, inc = st["state"]["state"], st["state"]["inc"]
+        m = (1 << 64) - 1
+        return np.array([s & m, s >> 64, inc & m, inc >> 64,
+                         int(st["has_uint32"]), st["uinteger"]], np.uint64)
+
+    def restore_revival_rng(self, arr) -> None:
+        """Inverse of revival_rng_state (applied by --resume)."""
+        a = [int(v) for v in np.asarray(arr, np.uint64)]
+        self._revive_rng.bit_generator.state = {
+            "bit_generator": "PCG64",
+            "state": {"state": a[0] | (a[1] << 64),
+                      "inc": a[2] | (a[3] << 64)},
+            "has_uint32": a[4], "uinteger": a[5]}
+
     def _coact_rows(self) -> np.ndarray:
         """Cached host-side subsample of valid datapoints for blend
         splitting (bounded device->host transfer, fetched once per run)."""
@@ -418,8 +442,10 @@ class EM:
             # F_prev rides along so a resumed run's Ncut mask matches the
             # uninterrupted trajectory (it ranks by the previous iteration's
             # free energies — models/base.py design note)
+            extra = {"F_prev": np.asarray(
+                jax.device_get(self.data["F_prev"]))}
+            if self.revive_duplicates is not None:
+                extra["revive_rng"] = self.revival_rng_state()
             checkpoint.save(
                 self.checkpoint_path, self.params,
-                step=self.anneal.position, rng=self.rng,
-                extra={"F_prev": np.asarray(
-                    jax.device_get(self.data["F_prev"]))})
+                step=self.anneal.position, rng=self.rng, extra=extra)
