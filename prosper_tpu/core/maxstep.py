@@ -34,9 +34,78 @@ from prosper_tpu.core.etstep import LinearStateArrays
 from prosper_tpu.core.select import top_hprime_candidates
 
 
+def _subset_dp_plan(states_np):
+    """Static DP plan over the subset lattice of the enumerated states.
+
+    States are binary supports over the Hp candidate slots, enumerated by
+    size (core/states.py::binary_state_space).  Each size-m state extends a
+    unique size-(m-1) parent (drop its largest active slot), so the
+    winner-take-all reconstruction can be built level by level with ONE
+    elementwise max per state instead of Hp passes over the full
+    (chunk, S, D) tile.  Returns [(parent_pos, add_slot)] per level m>=2,
+    where parent_pos indexes the previous level's array (level 1 = the Hp
+    singleton slots themselves), plus a permutation check that
+    concatenating levels reproduces the global state order.
+    """
+    import numpy as np
+
+    act = states_np > 0.5
+    sizes = act.sum(axis=1).astype(int)
+    order = []
+    levels = []
+    pos_of = {}                 # active-tuple -> position within its level
+    for m in range(2, sizes.max() + 1):
+        rows = np.flatnonzero(sizes == m)
+        parent_pos, add_slot = [], []
+        for j, r in enumerate(rows):
+            sup = tuple(np.flatnonzero(act[r]))
+            pos_of[sup] = j
+            parent = sup[:-1]
+            parent_pos.append(parent[0] if m == 2 else pos_of[parent])
+            add_slot.append(sup[-1])
+        levels.append((np.asarray(parent_pos, np.int32),
+                       np.asarray(add_slot, np.int32)))
+        order.extend(rows.tolist())
+    assert order == list(range(states_np.shape[0])), (
+        "state enumeration is not size-ordered; DP plan needs the "
+        "binary_state_space ordering")
+    return levels
+
+
+def _dp_winner_tile(Wc, states_np, magnitude):
+    """(ybar, best, key_val) over all multi states via the subset-lattice DP
+    — same results as the Hp-pass masked-max loop, ~Hp/2x less VPU work."""
+    C, Hp, D = Wc.shape
+    f32 = jnp.float32
+    key1 = jnp.abs(Wc) if magnitude else Wc                      # (C,Hp,D)
+    best1 = jnp.broadcast_to(
+        jnp.arange(Hp, dtype=jnp.int32)[None, :, None], (C, Hp, D))
+
+    ybar_prev, key_prev, best_prev = Wc, key1, best1
+    out_y, out_k, out_b = [], [], []
+    for parent_pos, add_slot in _subset_dp_plan(states_np):
+        pp = jnp.asarray(parent_pos)
+        aa = jnp.asarray(add_slot)
+        pv = jnp.take(ybar_prev, pp, axis=1)
+        kv = jnp.take(key_prev, pp, axis=1)
+        bv = jnp.take(best_prev, pp, axis=1)
+        va = jnp.take(Wc, aa, axis=1)
+        ka = jnp.take(key1, aa, axis=1)
+        ba = jnp.broadcast_to(aa[None, :, None], kv.shape)
+        better = ka > kv
+        ybar_prev = jnp.where(better, va, pv).astype(f32)
+        key_prev = jnp.where(better, ka, kv).astype(f32)
+        best_prev = jnp.where(better, ba, bv)
+        out_y.append(ybar_prev)
+        out_k.append(key_prev)
+        out_b.append(best_prev)
+    return (jnp.concatenate(out_y, axis=1), jnp.concatenate(out_b, axis=1),
+            jnp.concatenate(out_k, axis=1))
+
+
 def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
                       sa: LinearStateArrays, Hp: int, magnitude: bool,
-                      beta, prior_beta, rho=0.0):
+                      beta, prior_beta, rho=0.0, dp_winner: bool = True):
     """E-statistics for one chunk: union {0} ∪ {singletons} ∪ {multi}."""
     C, D = y.shape
     H = W.shape[1]
@@ -52,26 +121,33 @@ def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
                  preferred_element_type=f32).reshape(C, Hp, D)           # (C,Hp,D)
 
     # ---- reconstruction per multi state: winner-take-all over active slots
-    # (fori_loop rather than a Python unroll: the unrolled (C,S,D) chain
-    # made remote compiles take minutes)
     act = sa.states > 0.5                                               # (S,Hp) bool
     neg_inf = jnp.float32(-3e38)
 
-    def win_body(h, carry):
-        ybar, best, key_val = carry
-        vh = jax.lax.dynamic_slice_in_dim(Wc, h, 1, axis=1)             # (C,1,D)
-        kh = jnp.abs(vh) if magnitude else vh
-        act_h = jax.lax.dynamic_slice_in_dim(act, h, 1, axis=1)         # (S,1)
-        kh = jnp.where(act_h[None, :, 0, None], kh, neg_inf)            # (C,S,D)
-        better = kh > key_val
-        return (jnp.where(better, vh, ybar),
-                jnp.where(better, h, best),
-                jnp.where(better, kh, key_val))
+    if dp_winner:
+        # subset-lattice DP: one masked max per state (each size-m state
+        # extends its size-(m-1) parent) instead of Hp full (C,S,D) passes
+        import numpy as _np
+        ybar, best, key_val = _dp_winner_tile(
+            Wc, _np.asarray(sa.states), magnitude)
+    else:
+        # reference formulation (fori_loop rather than a Python unroll:
+        # the unrolled (C,S,D) chain made remote compiles take minutes)
+        def win_body(h, carry):
+            ybar, best, key_val = carry
+            vh = jax.lax.dynamic_slice_in_dim(Wc, h, 1, axis=1)         # (C,1,D)
+            kh = jnp.abs(vh) if magnitude else vh
+            act_h = jax.lax.dynamic_slice_in_dim(act, h, 1, axis=1)     # (S,1)
+            kh = jnp.where(act_h[None, :, 0, None], kh, neg_inf)        # (C,S,D)
+            better = kh > key_val
+            return (jnp.where(better, vh, ybar),
+                    jnp.where(better, h, best),
+                    jnp.where(better, kh, key_val))
 
-    ybar, best, key_val = jax.lax.fori_loop(
-        0, Hp, win_body,
-        (jnp.full((C, S, D), neg_inf), jnp.zeros((C, S, D), jnp.int32),
-         jnp.full((C, S, D), neg_inf)))
+        ybar, best, key_val = jax.lax.fori_loop(
+            0, Hp, win_body,
+            (jnp.full((C, S, D), neg_inf), jnp.zeros((C, S, D), jnp.int32),
+             jnp.full((C, S, D), neg_inf)))
     # every multi state has >=2 active slots, so ybar is fully defined
 
     y_dot = jnp.einsum("nd,nsd->ns", y, ybar)                           # (C,S)
@@ -279,7 +355,8 @@ def _max_et_posterior_chunk(y: jnp.ndarray, W: jnp.ndarray, sigma2,
 def max_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
                  sigma2, log_odds_scalar, sa: LinearStateArrays, Hp: int,
                  magnitude: bool, beta, prior_beta,
-                 chunk: int = 256, rho=0.0) -> Tuple[jnp.ndarray, Dict]:
+                 chunk: int = 256, rho=0.0,
+                 dp_winner: bool = True) -> Tuple[jnp.ndarray, Dict]:
     """Full-shard max-superposition E-step, chunked like linear_et_estep.
 
     ``chunk`` bounds the (chunk, S, D) reconstruction tile; pick it so
@@ -292,7 +369,7 @@ def max_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
     body = partial(_chunk_max_estats, W=W, gram_diag=gram_diag,
                    sigma2=sigma2, log_odds_scalar=log_odds_scalar, sa=sa,
                    Hp=Hp, magnitude=magnitude, beta=beta,
-                   prior_beta=prior_beta, rho=rho)
+                   prior_beta=prior_beta, rho=rho, dp_winner=dp_winner)
     if N <= chunk:
         return body(y, weight)
     if N % chunk != 0:

@@ -198,3 +198,36 @@ def test_mca_bars_with_annealed_rho():
     p = em.run()
     rec = count_recovered_bars(np.asarray(p["W"]), np.asarray(gt["W"]), 0.8)
     assert rec == model.H, f"recovered {rec}/{model.H} with annealed rho"
+
+
+def test_dp_winner_tile_matches_loop_formulation():
+    """The subset-lattice DP winner tile must reproduce the Hp-pass masked
+    max loop exactly (ybar/best/key and hence all statistics), for both
+    value-max (MCA) and magnitude-max (MMCA), hard and softened."""
+    import jax.numpy as jnp
+
+    from prosper_tpu.core.maxstep import max_et_estep
+    from prosper_tpu.core.etstep import state_arrays_from
+    from prosper_tpu.core import states as states_mod
+
+    rng = np.random.default_rng(3)
+    N, D, H, Hp, gamma = 64, 16, 12, 6, 3
+    sa = state_arrays_from(states_mod.binary_state_space(Hp, gamma))
+    y = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    w = jnp.ones((N,), jnp.float32)
+    W = jnp.asarray(rng.standard_normal((D, H)), jnp.float32)
+
+    for magnitude in (False, True):
+        for rho in (0.0, 4.0):
+            F1, s1 = max_et_estep(y, w, W, 1.0, -1.5, sa, Hp, magnitude,
+                                  1.0, 1.0, chunk=N, rho=rho,
+                                  dp_winner=False)
+            F2, s2 = max_et_estep(y, w, W, 1.0, -1.5, sa, Hp, magnitude,
+                                  1.0, 1.0, chunk=N, rho=rho,
+                                  dp_winner=True)
+            np.testing.assert_allclose(np.asarray(F1), np.asarray(F2),
+                                       rtol=1e-6, atol=1e-6)
+            for k in s1:
+                np.testing.assert_allclose(
+                    np.asarray(s1[k]), np.asarray(s2[k]), rtol=1e-5,
+                    atol=1e-5, err_msg=f"{k} magnitude={magnitude} rho={rho}")
