@@ -116,8 +116,81 @@ def cho_inverse_small(L: jnp.ndarray) -> jnp.ndarray:
     return X
 
 
+# ---------------------------------------------------------------------------
+# Batch-last small linalg: the (C,S,Hp,Hp) layout above puts Hp (<=10) in
+# the minor (lane) dimension — 5-30% occupancy of a 128-lane vreg, and every
+# unrolled step materialises a tiny-minor tensor.  The batch-last form keeps
+# each matrix ENTRY as a flat (C*S,) vector (fully packed lanes) and unrolls
+# the recurrences over scalar indices: ~Hp^3 fused elementwise ops over big
+# vectors instead of ~Hp^2 ops over badly-laid-out tensors.
+# ---------------------------------------------------------------------------
+
+def chol_bl(M):
+    """Cholesky of entry-wise matrices: M[i][j] (i>=j) are (B,) vectors."""
+    n = len(M)
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = M[j][j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(jnp.maximum(s, 1e-30))
+        L[j][j] = d
+        inv = 1.0 / d
+        for i in range(j + 1, n):
+            t = M[i][j]
+            for k in range(j):
+                t = t - L[i][k] * L[j][k]
+            L[i][j] = t * inv
+    return L
+
+
+def logdet_bl(L):
+    out = jnp.log(L[0][0])
+    for j in range(1, len(L)):
+        out = out + jnp.log(L[j][j])
+    return 2.0 * out
+
+
+def solve_bl(L, b):
+    """Solve (L L^T) x = b; b is a list of (B,) vectors (or scalars).
+    Python-constant zeros are skipped, so unit-vector solves (inverse_bl)
+    emit no dead ops."""
+    def is0(v):
+        return isinstance(v, float) and v == 0.0
+
+    n = len(L)
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            if not is0(y[k]):
+                s = s - L[i][k] * y[k]
+        y[i] = 0.0 if is0(s) else s / L[i][i]
+    x = [None] * n
+    for i in range(n - 1, -1, -1):
+        s = y[i]
+        for k in range(i + 1, n):
+            if not is0(x[k]):
+                s = s - L[k][i] * x[k]
+        x[i] = 0.0 if is0(s) else s / L[i][i]
+    return x
+
+
+def inverse_bl(L):
+    """Sig[i][j] (full symmetric) of (L L^T)^-1, entry-wise."""
+    n = len(L)
+    Sig = [[None] * n for _ in range(n)]
+    for j in range(n):
+        col = solve_bl(L, [1.0 if i == j else 0.0 for i in range(n)])
+        for i in range(j, n):
+            Sig[i][j] = col[i]
+            Sig[j][i] = col[i]
+    return Sig
+
+
 def _chunk_gsc_estats(y, w, W, gram, gram_diag, sigma2, pi, mu, psi,
-                      sa: LinearStateArrays, Hp: int, beta, prior_beta):
+                      sa: LinearStateArrays, Hp: int, beta, prior_beta,
+                      batch_last: bool = True):
     C, D = y.shape
     H = W.shape[1]
     S = sa.states.shape[0]
@@ -141,19 +214,42 @@ def _chunk_gsc_estats(y, w, W, gram, gram_diag, sigma2, pi, mu, psi,
 
     # padded per-(datapoint,state) posterior precision and natural params:
     # M_pad = act_a*act_b*G/sigma2 + diag(act/psi + (1-act))
-    act_ab = act[:, :, None] * act[:, None, :]                          # (S,Hp,Hp)
-    eye = jnp.eye(Hp, dtype=f32)
-    diag_term = act * inv_psi + (1.0 - act)                             # (S,Hp)
-    M = (act_ab[None] * (G[:, None] * inv_s2)
-         + jnp.einsum("sh,hk->shk", diag_term, eye)[None])              # (C,S,Hp,Hp)
-    b = act[None] * (proj[:, None, :] * inv_s2 + mu * inv_psi)          # (C,S,Hp)
+    if batch_last:
+        # entry-wise batch-last layout: every matrix entry is one flat
+        # (C*S,) vector with fully packed lanes (see chol_bl note above)
+        B = C * S
+        act_cols = [act[:, i] for i in range(Hp)]                       # (S,)
+        Mbl = [[None] * Hp for _ in range(Hp)]
+        for i in range(Hp):
+            for j in range(i + 1):
+                aij = act_cols[i] * act_cols[j]
+                e = (G[:, i, j] * inv_s2)[:, None] * aij[None, :]       # (C,S)
+                if i == j:
+                    e = e + (act_cols[i] * inv_psi
+                             + (1.0 - act_cols[i]))[None, :]
+                Mbl[i][j] = e.reshape(B)
+        bbl = [(act_cols[i][None, :]
+                * (proj[:, i] * inv_s2 + mu * inv_psi)[:, None]
+                ).reshape(B) for i in range(Hp)]
+        L = chol_bl(Mbl)
+        logdet = logdet_bl(L).reshape(C, S)
+        kap = solve_bl(L, bbl)                                          # Hp x (B,)
+        Sig_bl = inverse_bl(L)
+        bMb = sum(bbl[i] * kap[i] for i in range(Hp)).reshape(C, S)
+    else:
+        act_ab = act[:, :, None] * act[:, None, :]                      # (S,Hp,Hp)
+        eye = jnp.eye(Hp, dtype=f32)
+        diag_term = act * inv_psi + (1.0 - act)                         # (S,Hp)
+        M = (act_ab[None] * (G[:, None] * inv_s2)
+             + jnp.einsum("sh,hk->shk", diag_term, eye)[None])          # (C,S,Hp,Hp)
+        b = act[None] * (proj[:, None, :] * inv_s2 + mu * inv_psi)      # (C,S,Hp)
 
-    chol = chol_small(M)                                                # (C,S,Hp,Hp)
-    logdet = cho_logdet_small(chol)                                     # (C,S)
-    kappa = cho_solve_vec_small(chol, b)                                # (C,S,Hp)
-    Sig = cho_inverse_small(chol)                                       # (C,S,Hp,Hp)
+        chol = chol_small(M)                                            # (C,S,Hp,Hp)
+        logdet = cho_logdet_small(chol)                                 # (C,S)
+        kappa = cho_solve_vec_small(chol, b)                            # (C,S,Hp)
+        Sig = cho_inverse_small(chol)                                   # (C,S,Hp,Hp)
 
-    bMb = jnp.sum(b * kappa, axis=-1)                                   # (C,S)
+        bMb = jnp.sum(b * kappa, axis=-1)                               # (C,S)
     y2 = jnp.sum(y * y, axis=1)                                         # (C,)
 
     lik_multi = (-0.5 * k_s[None, :] * jnp.log(psi)
@@ -194,11 +290,27 @@ def _chunk_gsc_estats(y, w, W, gram, gram_diag, sigma2, pi, mu, psi,
     wv = w.astype(f32)
 
     # ---- sufficient statistics over the continuous latents sz = b*z
-    # <sz> per candidate slot, summed over states
-    sz_cand = jnp.einsum("ns,nsh->nh", q_multi, kappa)                  # (C,Hp)
-    # <sz sz^T> per (slot,slot): Sigma (masked) + kappa kappa^T
-    outer = (Sig * act_ab[None] + kappa[..., :, None] * kappa[..., None, :])
-    szsz_cand = jnp.einsum("ns,nsab->nab", q_multi, outer)              # (C,Hp,Hp)
+    if batch_last:
+        kap_cs = [kap[i].reshape(C, S) for i in range(Hp)]
+        sz_cand = jnp.stack(
+            [jnp.sum(q_multi * kc, axis=1) for kc in kap_cs], axis=1)   # (C,Hp)
+        # <sz sz^T> entries: q-weighted Sigma (masked) + kappa kappa^T
+        rows = [[None] * Hp for _ in range(Hp)]
+        for i in range(Hp):
+            for j in range(i + 1):
+                aij = (act_cols[i] * act_cols[j])[None, :]              # (1,S)
+                val = (Sig_bl[i][j].reshape(C, S) * aij
+                       + kap_cs[i] * kap_cs[j])
+                e = jnp.sum(q_multi * val, axis=1)                      # (C,)
+                rows[i][j] = e
+                rows[j][i] = e
+        szsz_cand = jnp.stack(
+            [jnp.stack(r, axis=1) for r in rows], axis=1)               # (C,Hp,Hp)
+    else:
+        sz_cand = jnp.einsum("ns,nsh->nh", q_multi, kappa)              # (C,Hp)
+        outer = (Sig * act_ab[None]
+                 + kappa[..., :, None] * kappa[..., None, :])
+        szsz_cand = jnp.einsum("ns,nsab->nab", q_multi, outer)          # (C,Hp,Hp)
 
     sz_single = q_single * kappa1                                       # (C,H)
     Sig1 = 1.0 / M1                                                     # (H,)
@@ -328,8 +440,8 @@ def _gsc_posterior_chunk(y: jnp.ndarray, W: jnp.ndarray, sigma2, pi, mu, psi,
 
 def gsc_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
                  sigma2, pi, mu, psi, sa: LinearStateArrays, Hp: int,
-                 beta, prior_beta, chunk: int = 1024
-                 ) -> Tuple[jnp.ndarray, Dict]:
+                 beta, prior_beta, chunk: int = 1024,
+                 batch_last: bool = True) -> Tuple[jnp.ndarray, Dict]:
     N, D = y.shape
     H = W.shape[1]
     gram = jnp.dot(W.T, W, preferred_element_type=jnp.float32)
@@ -337,7 +449,7 @@ def gsc_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
 
     body = partial(_chunk_gsc_estats, W=W, gram=gram, gram_diag=gram_diag,
                    sigma2=sigma2, pi=pi, mu=mu, psi=psi, sa=sa, Hp=Hp,
-                   beta=beta, prior_beta=prior_beta)
+                   beta=beta, prior_beta=prior_beta, batch_last=batch_last)
     if N <= chunk:
         return body(y, weight)
     if N % chunk != 0:

@@ -132,3 +132,31 @@ def test_gsc_bars_recovery():
     assert n_rec == H, f"recovered {n_rec}/{H} bars (GSC)"
     # W*mu should carry the bar scale; sigma near gt
     assert abs(float(params["sigma"]) - 1.0) < 0.4
+
+
+def test_gsc_batch_last_matches_tensor_formulation():
+    """The entry-wise batch-last Cholesky path must reproduce the
+    (C,S,Hp,Hp)-tensor formulation exactly (same recurrences, same
+    clamping), for F and every sufficient statistic."""
+    import jax.numpy as jnp
+
+    from prosper_tpu.core import states as states_mod
+    from prosper_tpu.core.etstep import state_arrays_from
+    from prosper_tpu.core.gscstep import gsc_et_estep
+
+    rng = np.random.default_rng(5)
+    N, D, H, Hp, gamma = 96, 12, 10, 5, 3
+    sa = state_arrays_from(states_mod.binary_state_space(Hp, gamma))
+    y = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    w = jnp.asarray((rng.random(N) > 0.1).astype(np.float32))
+    W = jnp.asarray(rng.standard_normal((D, H)), jnp.float32)
+
+    F1, s1 = gsc_et_estep(y, w, W, 0.8, 0.12, 0.3, 1.4, sa, Hp,
+                          1.0, 1.0, chunk=48, batch_last=False)
+    F2, s2 = gsc_et_estep(y, w, W, 0.8, 0.12, 0.3, 1.4, sa, Hp,
+                          1.0, 1.0, chunk=48, batch_last=True)
+    np.testing.assert_allclose(np.asarray(F1), np.asarray(F2),
+                               rtol=1e-5, atol=1e-5)
+    for k in s1:
+        np.testing.assert_allclose(np.asarray(s1[k]), np.asarray(s2[k]),
+                                   rtol=2e-5, atol=2e-5, err_msg=k)
