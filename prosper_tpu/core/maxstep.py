@@ -73,17 +73,20 @@ def _subset_dp_plan(states_np):
 
 
 def _dp_winner_tile(Wc, states_np, magnitude):
-    """(ybar, best, key_val) over all multi states via the subset-lattice DP
-    — same results as the Hp-pass masked-max loop, ~Hp/2x less VPU work."""
+    """(ybar, best, key_val, aux) over all multi states via the
+    subset-lattice DP — same results as the Hp-pass masked-max loop,
+    ~Hp/2x less VPU work.  aux carries the per-level plan and 'added slot
+    wins' masks for the responsibility flow DP."""
     C, Hp, D = Wc.shape
     f32 = jnp.float32
     key1 = jnp.abs(Wc) if magnitude else Wc                      # (C,Hp,D)
     best1 = jnp.broadcast_to(
         jnp.arange(Hp, dtype=jnp.int32)[None, :, None], (C, Hp, D))
 
+    plan = _subset_dp_plan(states_np)
     ybar_prev, key_prev, best_prev = Wc, key1, best1
-    out_y, out_k, out_b = [], [], []
-    for parent_pos, add_slot in _subset_dp_plan(states_np):
+    out_y, out_k, out_b, masks = [], [], [], []
+    for parent_pos, add_slot in plan:
         pp = jnp.asarray(parent_pos)
         aa = jnp.asarray(add_slot)
         pv = jnp.take(ybar_prev, pp, axis=1)
@@ -99,8 +102,48 @@ def _dp_winner_tile(Wc, states_np, magnitude):
         out_y.append(ybar_prev)
         out_k.append(key_prev)
         out_b.append(best_prev)
+        masks.append(better)
     return (jnp.concatenate(out_y, axis=1), jnp.concatenate(out_b, axis=1),
-            jnp.concatenate(out_k, axis=1))
+            jnp.concatenate(out_k, axis=1), (plan, masks))
+
+
+def _dp_hard_resp(qa, plan, masks, Hp):
+    """Hard winner responsibilities A[n,h,d] = sum_s qa[n,s]·[winner=h] via
+    a reverse flow over the subset lattice: each state's mass goes to its
+    added slot where that slot won (mask) and flows to its parent state
+    otherwise — one elementwise pass + two small contractions per level
+    instead of Hp masked (C,S,D) reductions."""
+    f32 = jnp.float32
+    C = qa.shape[0]
+    D = masks[0].shape[2]
+    sizes = [len(p[0]) for p in plan]
+    offs = [0]
+    for s_l in sizes:
+        offs.append(offs[-1] + s_l)
+
+    A = jnp.zeros((C, Hp, D), f32)
+    inflow = None
+    for lev in range(len(plan) - 1, -1, -1):
+        parent_pos, add_slot = plan[lev]
+        s_l = sizes[lev]
+        w = jnp.broadcast_to(
+            qa[:, offs[lev]:offs[lev] + s_l, None], masks[lev].shape)
+        if inflow is not None:
+            w = w + inflow
+        m = masks[lev].astype(f32)
+        win = w * m
+        oh_add = jax.nn.one_hot(jnp.asarray(add_slot), Hp, dtype=f32)
+        A = A + jnp.einsum("nsd,sh->nhd", win, oh_add)
+        down = w - win
+        if lev > 0:
+            oh_par = jax.nn.one_hot(jnp.asarray(parent_pos),
+                                    sizes[lev - 1], dtype=f32)
+            inflow = jnp.einsum("nsd,sp->npd", down, oh_par)
+        else:
+            # level-2 parents ARE the singleton slots
+            oh_par = jax.nn.one_hot(jnp.asarray(parent_pos), Hp, dtype=f32)
+            A = A + jnp.einsum("nsd,sh->nhd", down, oh_par)
+    return A
 
 
 def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
@@ -124,11 +167,12 @@ def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
     act = sa.states > 0.5                                               # (S,Hp) bool
     neg_inf = jnp.float32(-3e38)
 
+    dp_aux = None
     if dp_winner:
         # subset-lattice DP: one masked max per state (each size-m state
         # extends its size-(m-1) parent) instead of Hp full (C,S,D) passes
         import numpy as _np
-        ybar, best, key_val = _dp_winner_tile(
+        ybar, best, key_val, dp_aux = _dp_winner_tile(
             Wc, _np.asarray(sa.states), magnitude)
     else:
         # reference formulation (fori_loop rather than a Python unroll:
@@ -202,6 +246,9 @@ def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
     qa = q_multi * wv[:, None]                                          # (C,S)
 
     def hard_resp():
+        if dp_aux is not None:
+            return _dp_hard_resp(qa, dp_aux[0], dp_aux[1], Hp)
+
         def body(h, accA):
             mask_h = ((best == h) & (key_val > neg_inf / 2)).astype(f32)
             acc_h = jnp.einsum("ns,nsd->nd", qa, mask_h)
