@@ -193,16 +193,21 @@ class EM:
             self.step_once(verbose=verbose)
         return self.params
 
-    def run_scanned(self, n_steps: Optional[int] = None) -> Dict:
+    def run_scanned(self, n_steps: Optional[int] = None,
+                    collect_params: bool = False) -> Dict:
         """Run k EM iterations inside ONE jit via lax.scan.
 
         The BASELINE.json north star calls for "the EM driver becomes a
         jit-compiled scan": annealing values become per-iteration arrays
         scanned over on device, removing all host dispatch between
         iterations.  Per-iteration scalars are returned stacked and appended
-        to history/dlog afterwards; full parameter snapshots are only
-        available for the final state (use the Python-loop ``run`` when the
-        per-iteration W history matters).
+        to history/dlog afterwards.
+
+        ``collect_params=True`` additionally stacks full per-iteration
+        parameter snapshots on device and logs them to the dlog with the
+        same ``log_params_every`` thinning as the Python loop — reference
+        parity (the reference logs W every iteration) at the cost of
+        k x params device memory per scan segment.
         """
         from prosper_tpu.models.base import sched_floats
 
@@ -224,7 +229,7 @@ class EM:
             done = 0
             while done < k:
                 seg = min(seg_size, k - done)
-                self.run_scanned(seg)
+                self.run_scanned(seg, collect_params=collect_params)
                 done += seg
             return self.params
 
@@ -250,10 +255,11 @@ class EM:
             rng, sub = jax.random.split(rng)   # same chain as step_once
             data_i = {"y": y, "valid": valid, "F_prev": F_prev}
             params, F, scalars = step(params, data_i, sched_i, sub)
-            return (params, F, rng), scalars
+            return (params, F, rng), (scalars,
+                                      params if collect_params else None)
 
         t0 = time.perf_counter()
-        (params, F, rng), stacked = jax.lax.scan(
+        (params, F, rng), (stacked, phist) = jax.lax.scan(
             body, (self.params, self.data["F_prev"], self.rng), sched_arr)
         jax.block_until_ready(params)
         total_dt = time.perf_counter() - t0
@@ -263,12 +269,22 @@ class EM:
         self.data = dict(self.data, F_prev=F)
         stacked = {kk: np.asarray(jax.device_get(v))
                    for kk, v in stacked.items()}
+        if phist is not None:
+            phist = {kk: np.asarray(jax.device_get(v))
+                     for kk, v in phist.items()}
         for j in range(k):
             rec = {kk: float(v[j]) for kk, v in stacked.items()}
             rec["iteration"] = self.anneal.position
             rec["dt"] = total_dt / k
             self.history.append(rec)
             if self.dlog is not None:
+                if phist is not None:
+                    big = self.log_params_every and (
+                        self.anneal.position % self.log_params_every == 0)
+                    rec = dict(rec)
+                    for kk, v in phist.items():
+                        if v[j].ndim <= 1 or big:
+                            rec[kk] = v[j]
                 self.dlog.append_all(rec)
             self.anneal.next()
         # revival BEFORE checkpoint: the checkpoint then captures the
