@@ -74,7 +74,8 @@ def _build_from_decl(cfg: Dict) -> Dict[str, Any]:
 
     for k in ("data_h5", "data_dataset", "output", "seed", "N",
               "log_params_every", "gt_params", "checkpoint_every",
-              "revive_duplicates"):
+              "revive_duplicates", "split_norm_frac", "split_coact",
+              "reseed_worst_frac"):
         if k in cfg:
             out[k] = cfg[k]
     return out
@@ -209,7 +210,10 @@ def cmd_train(args) -> int:
             checkpoint_path=ckpt_path,
             checkpoint_every=int(cfg.get("checkpoint_every", 25)),
             revive_duplicates=(tuple(cfg["revive_duplicates"])
-                               if cfg.get("revive_duplicates") else None))
+                               if cfg.get("revive_duplicates") else None),
+            split_norm_frac=float(cfg.get("split_norm_frac", 0.0)),
+            split_coact=bool(cfg.get("split_coact", False)),
+            reseed_worst_frac=float(cfg.get("reseed_worst_frac", 0.0)))
     if ckpt_rng is not None:
         # deterministic restart: continue the PRNG chain recorded in the
         # checkpoint rather than replaying the config seed's early-schedule
