@@ -31,7 +31,7 @@ def planted_dictionary(D, H, active_pixels=8, intensity=10.0, seed=0):
 def main(N=1_000_000, D=256, H=300, Hp=8, gamma=4, iters=120, seed=0,
          backend="xla", scanned=True, revive=(10, 0.85, 0.75, 0.1),
          reseed_worst_frac=0.02, refine_gamma=0, refine_iters=40,
-         split_norm_frac=0.0, split_coact=False):
+         split_norm_frac=0.0, split_coact=False, save_params=None):
     from prosper_tpu.data.patches import pad_for_mesh
 
     model = BSC(D, H, Hp, gamma, chunk=8192, backend=backend)
@@ -64,7 +64,8 @@ def main(N=1_000_000, D=256, H=300, Hp=8, gamma=4, iters=120, seed=0,
     print(f"[patches] {iters} iters in {wall:.1f}s "
           f"({per_iter*1e3:.0f} ms/iter, "
           f"{N/per_iter/1e6:.1f} M dp/s); recovered {rec}/{H} columns; "
-          f"sigma={float(params['sigma']):.3f} pi={float(params['pi']):.4f}")
+          f"sigma={float(params['sigma']):.3f} pi={float(params['pi']):.4f}; "
+          f"revival={em.revival_stats}")
 
     if refine_gamma > gamma:
         # warm-start refinement with a deeper enumeration: columns that
@@ -83,7 +84,12 @@ def main(N=1_000_000, D=256, H=300, Hp=8, gamma=4, iters=120, seed=0,
         _, cosines = cosine_match(np.asarray(params["W"]), gt["W"])
         rec = int((cosines > 0.8).sum())
         print(f"[patches] gamma={refine_gamma} refinement "
-              f"({refine_iters} iters): recovered {rec}/{H} columns")
+              f"({refine_iters} iters): recovered {rec}/{H} columns; "
+              f"revival={em2.revival_stats}")
+    if save_params:
+        np.savez(save_params, W=np.asarray(params["W"]), gtW=gt["W"],
+                 cosines=cosines)
+        print(f"[patches] saved params -> {save_params}")
     return rec, per_iter
 
 

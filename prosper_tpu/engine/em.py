@@ -27,7 +27,7 @@ from prosper_tpu.models.base import make_blank_data, sched_from_anneal
 
 def coactivation_split(w_b: np.ndarray, Y: np.ndarray,
                        support_frac: float = 0.25,
-                       top_frac: float = 0.05):
+                       corr_frac: float = 0.35):
     """Split a suspected blend column into its two constituent atoms.
 
     Diagnosis (ROUND1.md): at the patches scale the stable failures are
@@ -44,11 +44,17 @@ def coactivation_split(w_b: np.ndarray, Y: np.ndarray,
     sup = np.flatnonzero(np.abs(w_b) > thr)
     if sup.size < 4:
         return None
+    # rows that contain (at least) one of the two atoms: a single-atom row
+    # correlates at ~0.5*||w_b||^2, pure-noise rows at ~N(0, sigma*||w_b||)
+    # — select by threshold, NOT a fixed top fraction (at realistic
+    # sparsity a fixed fraction is mostly noise rows, which dilutes the
+    # covariance contrast below the blend gate)
     c = Y @ w_b
-    k = max(64, int(top_frac * Y.shape[0]))
-    if k >= c.size:
+    rows = np.flatnonzero(c > corr_frac * float(w_b @ w_b))
+    if rows.size < 32:
         return None
-    rows = np.argpartition(-c, k)[:k]
+    if rows.size > 4096:
+        rows = rows[np.argsort(-c[rows])[:4096]]
     Ys = Y[rows][:, sup]
     Ys = Ys - Ys.mean(axis=0)
     C = Ys.T @ Ys
@@ -155,6 +161,10 @@ class EM:
         #: data.  Falls back to re-seeding when no two-group structure exists
         self.split_coact = bool(split_coact)
         self._coact_sample = None
+        #: observability: how often each revival action fired this run
+        self.revival_stats = {"revived": 0, "coact_split": 0,
+                              "coact_rejected": 0, "sym_split": 0,
+                              "reseeded": 0}
         #: with revive_duplicates: re-seed freed columns from datapoints in
         #: the worst-explained tail (bottom reseed_worst_frac of the
         #: per-datapoint free energy F_prev) instead of uniformly — missing
@@ -382,21 +392,25 @@ class EM:
                     parts = coactivation_split(
                         W[:, b].astype(np.float64), self._coact_rows())
                     if parts is None:
+                        self.revival_stats["coact_rejected"] += 1
                         continue          # not a clean blend: next candidate
                     W[:, b] = parts[0].astype(np.float32)
                     W[:, col] = parts[1].astype(np.float32)
+                    self.revival_stats["coact_split"] += 1
                 else:
                     eps = 0.3 * norms[b] / np.sqrt(W.shape[0])
                     noise = (eps * self._revive_rng.standard_normal(
                         W.shape[0])).astype(np.float32)
                     W[:, col] = W[:, b] + noise
                     W[:, b] = W[:, b] - noise
+                    self.revival_stats["sym_split"] += 1
                 used.add(b)
                 return
             idx = int(rows[self._revive_rng.integers(0, rows.size)])
             sample = np.asarray(jax.device_get(self.data["y"][idx]))
             noise = self._revive_rng.standard_normal(W.shape[0])
             W[:, col] = 0.5 * sample + 0.5 * noise.astype(np.float32)
+            self.revival_stats["reseeded"] += 1
 
         for h in range(W.shape[1]):
             j = int(np.argmax(C[h]))
@@ -413,6 +427,7 @@ class EM:
                     used.add(h)
                     revived += 1
         if revived:
+            self.revival_stats["revived"] += revived
             new_W = jnp.asarray(W, jnp.float32)
             if self.runtime is not None:
                 new_W = self.runtime.replicate(new_W)
