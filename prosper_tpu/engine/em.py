@@ -373,11 +373,25 @@ class EM:
 
         split_norm_frac = self.split_norm_frac
         median_norm = float(np.median(norms))
-        # split candidates: columns whose norm is far above the median — a
-        # fused pair of atoms carries ~sqrt(2)x the energy of a single one
-        split_pool = ([] if split_norm_frac <= 0.0 else
-                      [int(h) for h in np.argsort(norms)[::-1]
-                       if norms[h] > split_norm_frac * median_norm])
+        if split_norm_frac <= 0.0:
+            split_pool = []
+        elif self.split_coact:
+            # measured on converged patches runs (ROUND2.md): blend columns
+            # sit BELOW the median norm (the M-step rescales them down) but
+            # their support is ~2x the planted atom's — support size is the
+            # razor-sharp statistic (median 8 / p90 8 / blends 13-15), so
+            # the candidate pool uses split_norm_frac x median SUPPORT
+            absW = np.abs(W)
+            sup_sizes = (absW > 0.25 * absW.max(axis=0, keepdims=True)
+                         ).sum(axis=0)
+            med_sup = max(float(np.median(sup_sizes)), 1.0)
+            split_pool = [int(h) for h in np.argsort(-sup_sizes)
+                          if sup_sizes[h] >= split_norm_frac * med_sup]
+        else:
+            # symmetric-split heuristic (round 1): norm far above median —
+            # a fused pair of atoms carries ~sqrt(2)x the energy
+            split_pool = [int(h) for h in np.argsort(norms)[::-1]
+                          if norms[h] > split_norm_frac * median_norm]
 
         def reinit(col: int) -> None:
             # prefer splitting a suspected blend: either read the partition

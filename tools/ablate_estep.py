@@ -17,6 +17,7 @@ Run: timeout 1100 python tools/ablate_estep.py [variant ...]
 """
 import functools
 import json
+import os
 import sys
 import time
 
@@ -32,7 +33,7 @@ from prosper_tpu.core.etstep import state_arrays_from   # noqa: E402
 
 D, H, Hp, GAMMA = 256, 304, 8, 4
 N = 131072
-TILE = 256
+TILE = int(os.environ.get("ABL_TILE", "256"))   # 512 probes VMEM headroom
 ITERS = 10
 
 
