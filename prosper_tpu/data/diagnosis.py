@@ -1,0 +1,162 @@
+"""Dictionary-recovery diagnostics: classify why atoms were missed.
+
+TPU-build addition beyond the reference (no counterpart in SURVEY.md §2 —
+the reference only counts recovered bars).  Round-1/2 experience at the
+patches scale showed that *guessing* recovery levers wastes chip runs while
+one host-side diagnosis of a converged dictionary classifies every failure
+immediately (ROUND1.md / ROUND2.md).  The measured signatures this module
+encodes:
+
+* **blend** — one learned column ``w ~= a_i + a_j`` fuses two ground-truth
+  atoms with near-disjoint supports.  Signature: its top-2 cosines against
+  the ground truth are both moderate (~0.5-0.85), and its *support size* is
+  ~2x the median (support, not norm, is the sharp statistic: the M-step
+  rescales blends BELOW the median norm).
+* **duplicate** — two learned columns lock onto the same atom (mutual
+  cosine above ~0.85), wasting one column; some other atom then goes
+  uncovered.
+* **dead** — a column whose norm decayed far below the median (no
+  sufficient statistics flow to it, the ridge M-step shrinks it).
+* **missing** — an atom with no learned column near it and no blend
+  containing it (pure capacity loss; random re-seeding is the lever).
+
+``EM(revive_duplicates=..., split_coact=True, reseed_worst_frac=...)``
+consumes exactly these signals online; this module is the offline analysis
+used to calibrate them.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from prosper_tpu.data.bars import cosine_match
+
+
+def dictionary_stats(W: np.ndarray, support_frac: float = 0.25) -> Dict:
+    """Per-column health statistics of a (D, H) dictionary (no ground truth).
+
+    Returns norms, support sizes (pixels above ``support_frac`` of the
+    column's peak magnitude), the mutual-coherence matrix, and the medians
+    the online revival heuristics compare against.
+    """
+    W = np.asarray(W, np.float64)
+    norms = np.linalg.norm(W, axis=0)
+    absW = np.abs(W)
+    support = (absW > support_frac * (absW.max(axis=0, keepdims=True) + 1e-30)
+               ).sum(axis=0)
+    Wn = W / (norms + 1e-12)
+    coherence = Wn.T @ Wn
+    np.fill_diagonal(coherence, 0.0)
+    return {
+        "norms": norms,
+        "support": support,
+        "coherence": coherence,
+        "median_norm": float(np.median(norms)),
+        "median_support": float(np.median(support)),
+        "max_coherence": float(np.abs(coherence).max(initial=0.0)),
+    }
+
+
+def diagnose_recovery(W_learned: np.ndarray, W_true: np.ndarray,
+                      threshold: float = 0.8, signed: bool = False,
+                      blend_band: tuple = (0.45, 0.92),
+                      dup_threshold: float = 0.85,
+                      dead_norm_frac: float = 0.1,
+                      support_factor: float = 1.5,
+                      support_frac: float = 0.25) -> Dict:
+    """Classify every unrecovered ground-truth atom of a converged run.
+
+    Parameters mirror the online revival knobs: ``dup_threshold`` is
+    ``revive_duplicates[1]``, ``dead_norm_frac`` its 4th element,
+    ``support_factor`` is ``split_norm_frac`` under ``split_coact``.
+
+    Returns a dict with
+
+    - ``recovered`` / ``missed``: ground-truth atom indices (cosine above /
+      below ``threshold`` under the optimal assignment);
+    - ``blends``: learned-column -> (atom_i, atom_j, cos_i, cos_j) for
+      columns showing the blend signature;
+    - ``duplicates``: list of (learned_i, learned_j, cosine) pairs above
+      ``dup_threshold`` (the weaker-norm column listed second);
+    - ``dead``: learned columns below ``dead_norm_frac`` x median norm;
+    - ``missed_classes``: atom index -> one of ``"blend"`` / ``"missing"``
+      (an atom eaten by a blend column vs. nowhere present);
+    - ``stats``: the `dictionary_stats` of ``W_learned``.
+    """
+    Wl = np.asarray(W_learned, np.float64)
+    Wt = np.asarray(W_true, np.float64)
+    assignment, cosines = cosine_match(Wl, Wt, signed=signed)
+    recovered = np.flatnonzero(cosines > threshold)
+    missed = np.flatnonzero(cosines <= threshold)
+
+    stats = dictionary_stats(Wl, support_frac=support_frac)
+    nl = stats["norms"] + 1e-12
+    nt = np.linalg.norm(Wt, axis=0) + 1e-12
+    C = (Wt / nt).T @ (Wl / nl)                  # (H_true, H_learned)
+    score = np.abs(C) if signed else C
+
+    # blend signature: top-2 gt cosines both inside the band AND support
+    # well above median (the support side kills single-atom false positives)
+    blends: Dict[int, tuple] = {}
+    lo, hi = blend_band
+    sup_gate = support_factor * max(stats["median_support"], 1.0)
+    order = np.argsort(-score, axis=0)
+    for col in range(Wl.shape[1]):
+        a, b = int(order[0, col]), int(order[1, col])
+        ca, cb = float(score[a, col]), float(score[b, col])
+        if lo <= cb and ca <= hi and stats["support"][col] >= sup_gate:
+            blends[col] = (a, b, ca, cb)
+
+    # duplicate pairs among learned columns (weaker norm second)
+    duplicates = []
+    coh = np.abs(stats["coherence"]) if signed else stats["coherence"]
+    for i in range(Wl.shape[1]):
+        for j in range(i + 1, Wl.shape[1]):
+            if coh[i, j] > dup_threshold:
+                pair = (i, j) if nl[i] >= nl[j] else (j, i)
+                duplicates.append((*pair, float(coh[i, j])))
+
+    dead = [int(h) for h in
+            np.flatnonzero(stats["norms"]
+                           < dead_norm_frac * stats["median_norm"])]
+
+    blended_atoms = {atom for (a, b, *_ ) in
+                     [(v[0], v[1]) for v in blends.values()]
+                     for atom in (a, b)}
+    missed_classes = {int(t): ("blend" if int(t) in blended_atoms
+                               else "missing")
+                      for t in missed}
+
+    return {"assignment": assignment, "cosines": cosines,
+            "recovered": recovered, "missed": missed, "blends": blends,
+            "duplicates": duplicates, "dead": dead,
+            "missed_classes": missed_classes, "stats": stats}
+
+
+def format_report(report: Dict, max_rows: int = 20) -> str:
+    """Human-readable summary of a `diagnose_recovery` report."""
+    st = report["stats"]
+    lines = [
+        f"recovered {report['recovered'].size}"
+        f"/{report['cosines'].size} atoms "
+        f"(median norm {st['median_norm']:.3g}, "
+        f"median support {st['median_support']:.0f}, "
+        f"max coherence {st['max_coherence']:.2f})",
+    ]
+    by_class: Dict[str, list] = {}
+    for atom, cls in report["missed_classes"].items():
+        by_class.setdefault(cls, []).append(atom)
+    for cls, atoms in sorted(by_class.items()):
+        lines.append(f"  missed/{cls}: {len(atoms)} -> "
+                     f"{sorted(atoms)[:max_rows]}")
+    for col, (a, b, ca, cb) in list(report["blends"].items())[:max_rows]:
+        lines.append(f"  blend col {col}: atoms {a}+{b} "
+                     f"(cos {ca:.2f}/{cb:.2f}, "
+                     f"support {st['support'][col]:.0f})")
+    for i, j, c in report["duplicates"][:max_rows]:
+        lines.append(f"  duplicate cols {i}~{j} (cos {c:.2f})")
+    if report["dead"]:
+        lines.append(f"  dead cols: {report['dead'][:max_rows]}")
+    return "\n".join(lines)

@@ -1,0 +1,75 @@
+"""Dictionary-recovery diagnostics (data/diagnosis.py)."""
+
+import numpy as np
+
+from prosper_tpu.data.diagnosis import (dictionary_stats, diagnose_recovery,
+                                        format_report)
+
+
+def _planted(D=100, H=12, k=5, seed=0, intensity=10.0):
+    """Disjoint-ish sparse atoms (the patches-scale generator, miniature)."""
+    rng = np.random.default_rng(seed)
+    W = np.zeros((D, H), np.float64)
+    for h in range(H):
+        W[rng.choice(D, size=k, replace=False), h] = intensity
+    return W
+
+
+def test_dictionary_stats_basic():
+    W = _planted()
+    st = dictionary_stats(W)
+    assert st["norms"].shape == (12,)
+    assert np.all(st["support"] == 5)          # exactly k active pixels
+    assert st["median_support"] == 5.0
+    assert st["coherence"].shape == (12, 12)
+    assert np.allclose(np.diag(st["coherence"]), 0.0)
+
+
+def test_diagnose_classifies_blend_duplicate_dead():
+    gt = _planted(seed=1)
+    Wl = gt.copy()
+    # column 0 becomes a BLEND of atoms 0 and 1; column 1 is freed and
+    # DUPLICATES atom 2; column 3 goes DEAD; atom 3 is then pure-missing
+    Wl[:, 0] = gt[:, 0] + gt[:, 1]
+    Wl[:, 1] = gt[:, 2] + 0.01
+    Wl[:, 3] = 1e-4
+
+    rep = diagnose_recovery(Wl, gt, threshold=0.8)
+    missed = set(rep["missed"].tolist())
+    # atoms 1 and 3 cannot both be covered (0 blended, 3 dead)
+    assert 3 in missed
+    assert rep["missed_classes"][3] == "missing"
+    blend_atoms = {a for v in rep["blends"].values() for a in v[:2]}
+    assert {0, 1} <= blend_atoms                 # blend col covers atoms 0+1
+    blended_missed = [t for t, c in rep["missed_classes"].items()
+                      if c == "blend"]
+    assert any(t in (0, 1) for t in blended_missed)
+    assert any({i, j} == {1, 2} for i, j, _ in rep["duplicates"])
+    assert 3 in rep["dead"]
+
+    txt = format_report(rep)
+    assert "blend col 0" in txt and "dead cols" in txt
+
+
+def test_diagnose_clean_recovery_has_no_findings():
+    gt = _planted(seed=2)
+    rng = np.random.default_rng(3)
+    Wl = gt + 0.05 * rng.standard_normal(gt.shape)
+    rep = diagnose_recovery(Wl, gt)
+    assert rep["missed"].size == 0
+    assert not rep["blends"] and not rep["duplicates"] and not rep["dead"]
+
+
+def test_diagnose_matches_online_detector_pool():
+    """The blend columns diagnose_recovery flags are exactly the ones the
+    online split_coact candidate pool (support >= 1.5 x median) ranks
+    first — the offline/online calibration contract."""
+    gt = _planted(D=144, H=16, seed=4)
+    Wl = gt.copy()
+    Wl[:, 5] = gt[:, 5] + gt[:, 6]
+    Wl[:, 6] = gt[:, 7] * 0.9                    # free the partner column
+    rep = diagnose_recovery(Wl, gt)
+    st = rep["stats"]
+    pool = [h for h in np.argsort(-st["support"])
+            if st["support"][h] >= 1.5 * st["median_support"]]
+    assert list(rep["blends"]) == pool == [5]
