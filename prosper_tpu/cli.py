@@ -271,6 +271,53 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def cmd_diagnose(args) -> int:
+    """Dictionary-health / recovery report on a trained checkpoint."""
+    from prosper_tpu.data.diagnosis import (dictionary_stats,
+                                            diagnose_recovery, format_report)
+    from prosper_tpu.io import checkpoint
+
+    try:
+        params, step, _ = checkpoint.restore(args.checkpoint)
+    except (KeyError, OSError):
+        if args.checkpoint.endswith(".npz"):
+            params, step = dict(np.load(args.checkpoint)), -1
+        else:
+            params, step = checkpoint.resume_from_h5(
+                args.checkpoint, param_names=("W",))
+    W = np.asarray(params["W"])
+
+    gt_W = None
+    if args.gt:
+        if args.gt.endswith(".npz"):
+            z = np.load(args.gt)
+            gt_W = np.asarray(z["gtW"] if "gtW" in z else z["W"])
+        else:
+            gt = load_config(args.gt).get("gt_params")
+            if gt is None:
+                raise SystemExit(f"{args.gt} defines no gt_params")
+            gt_W = np.asarray(gt["W"])
+
+    if gt_W is None:
+        st = dictionary_stats(W, support_frac=args.support_frac)
+        dead = np.flatnonzero(st["norms"] < 0.1 * st["median_norm"])
+        wide = np.flatnonzero(st["support"] >= 1.5 * st["median_support"])
+        print(f"[diagnose] {W.shape[1]} columns (step {step}): "
+              f"median norm {st['median_norm']:.3g}, median support "
+              f"{st['median_support']:.0f}, max coherence "
+              f"{st['max_coherence']:.2f}")
+        print(f"  dead (norm<0.1x median): {dead.tolist()}")
+        print(f"  wide-support (>=1.5x median, blend suspects): "
+              f"{wide.tolist()}")
+    else:
+        rep = diagnose_recovery(W, gt_W, threshold=args.threshold,
+                                signed=args.signed,
+                                support_frac=args.support_frac)
+        print(f"[diagnose] step {step}")
+        print(format_report(rep))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="prosper-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -306,6 +353,19 @@ def main(argv=None) -> int:
     pg.add_argument("--seed", type=int, default=0)
     pg.add_argument("--output", "-o", default=None)
     pg.set_defaults(fn=cmd_generate)
+
+    pd = sub.add_parser("diagnose",
+                        help="dictionary-health / recovery report")
+    pd.add_argument("--checkpoint", "-c", required=True,
+                    help="checkpoint.h5 / result.h5 / .npz with W")
+    pd.add_argument("--gt", default=None,
+                    help=".npz with gtW, or a config defining gt_params; "
+                         "omitted -> health stats only")
+    pd.add_argument("--threshold", type=float, default=0.8)
+    pd.add_argument("--signed", action="store_true",
+                    help="match columns by |cosine| (TSC/MMCA-style)")
+    pd.add_argument("--support-frac", type=float, default=0.25)
+    pd.set_defaults(fn=cmd_diagnose)
 
     args = p.parse_args(argv)
     return args.fn(args)

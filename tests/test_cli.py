@@ -146,3 +146,27 @@ def test_all_example_configs_load():
         assert "model" in cfg and "anneal" in cfg, path
         assert hasattr(cfg["model"], "step_fn"), path
         assert not cfg["anneal"].finished, path
+
+
+def test_cli_diagnose(tiny_config, tmp_path, capsys):
+    out = str(tmp_path / "run")
+    assert cli.main(["train", tiny_config, "-o", out, "-q"]) == 0
+    ckpt = os.path.join(out, "checkpoint.h5")
+    # health-only report (no ground truth)
+    assert cli.main(["diagnose", "-c", ckpt]) == 0
+    txt = capsys.readouterr().out
+    assert "median support" in txt and "blend suspects" in txt
+    # recovery report against the config's gt_params
+    assert cli.main(["diagnose", "-c", ckpt, "--gt", tiny_config]) == 0
+    txt = capsys.readouterr().out
+    assert "/8 atoms" in txt
+    # npz round-trip (the patches_scale_run save_params format)
+    npz = str(tmp_path / "w.npz")
+    from prosper_tpu.io import checkpoint as ck
+    params, _, _ = ck.restore(ckpt)
+    np.savez(npz, W=np.asarray(params["W"]))
+    gtz = str(tmp_path / "gt.npz")
+    from prosper_tpu.cli import load_config
+    np.savez(gtz, gtW=np.asarray(load_config(tiny_config)["gt_params"]["W"]))
+    assert cli.main(["diagnose", "-c", npz, "--gt", gtz]) == 0
+    assert "/8 atoms" in capsys.readouterr().out
