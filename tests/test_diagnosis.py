@@ -73,3 +73,24 @@ def test_diagnose_matches_online_detector_pool():
     pool = [h for h in np.argsort(-st["support"])
             if st["support"][h] >= 1.5 * st["median_support"]]
     assert list(rep["blends"]) == pool == [5]
+
+
+def test_diagnose_real_patches_dictionary():
+    """Regression on a real converged patches-scale dictionary (seed 2,
+    saved by examples/patches_scale_run.py) — the calibration artifact the
+    support-size detector was read off."""
+    import os
+    import pytest
+    path = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "patches_seed2_diag.npz")
+    if not os.path.exists(path):
+        pytest.skip("calibration npz not present")
+    d = np.load(path)
+    rep = diagnose_recovery(d["W"], d["gtW"])
+    assert rep["recovered"].size == 289
+    # every missed atom traces to a blend column
+    assert set(rep["missed_classes"].values()) == {"blend"}
+    # the six tight blends (cos ~0.75-0.83, support 13-15) are all flagged
+    tight = [c for c, (a, b, ca, cb) in rep["blends"].items()
+             if min(ca, cb) > 0.7]
+    assert len(tight) >= 6
