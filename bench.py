@@ -202,10 +202,15 @@ def main():
     # big-S on-chip path (SURVEY §5.7 motivation: S explodes combinatorially;
     # single-chip state-replicated here, state-sharded on a mesh)
     run_family("tsc_bigs", lambda: TSC(64, 32, 10, 5, chunk=1024),
-               16384, iters=3)
-    run_family("gsc", lambda: GSC(64, 100, 6, 3, chunk=2048), 16384)
-    run_family("mca", lambda: MCA(64, 100, 6, 3, chunk=256), 16384)
-    run_family("mmca", lambda: MMCA(64, 100, 6, 3, chunk=256), 16384)
+               65536, iters=3)
+    # batch sizes amortise the relay/dispatch fixed cost (~3 ms/call —
+    # measured: MCA "2.4M" at N=16k vs 6.2M at N=262k, same program)
+    run_family("gsc", lambda: GSC(64, 100, 6, 3, chunk=4096), 262144,
+               iters=3)
+    run_family("mca", lambda: MCA(64, 100, 6, 3, chunk=8192), 262144,
+               iters=3)
+    run_family("mmca", lambda: MMCA(64, 100, 6, 3, chunk=8192), 262144,
+               iters=3)
 
     # ---- CPU reference baseline --------------------------------------------
     out = {}

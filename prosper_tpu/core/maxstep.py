@@ -72,39 +72,46 @@ def _subset_dp_plan(states_np):
     return levels
 
 
-def _dp_winner_tile(Wc, states_np, magnitude):
-    """(ybar, best, key_val, aux) over all multi states via the
-    subset-lattice DP — same results as the Hp-pass masked-max loop,
-    ~Hp/2x less VPU work.  aux carries the per-level plan and 'added slot
-    wins' masks for the responsibility flow DP."""
+def _dp_winner_tile(Wc, states_np, magnitude, collect=("ybar",)):
+    """Winner tile over all multi states via the subset-lattice DP — same
+    results as the Hp-pass masked-max loop, ~Hp/2x less VPU work.
+
+    Returns (out, aux): ``out`` maps each requested name in ``collect``
+    ("ybar" / "key") to its (C, S, D) concatenation; ``aux`` carries the
+    per-level plan and 'added slot wins' masks for the responsibility flow
+    DP.  Only requested tensors are concatenated/materialised — the hard
+    path needs just ybar (key feeds only the softened-max branch, which
+    rebuilds it inside its own lax.cond branch so the HBM traffic is paid
+    only when rho > 0 actually executes).  A variant folding y_dot/ybar2
+    reductions level-by-level into the DP (no ybar concat at all) measured
+    *slower* on chip (2.0 vs 2.4 M dp/s — the per-level reduction chains
+    defeat XLA fusion), so the tile formulation stays.
+    """
     C, Hp, D = Wc.shape
     f32 = jnp.float32
     key1 = jnp.abs(Wc) if magnitude else Wc                      # (C,Hp,D)
-    best1 = jnp.broadcast_to(
-        jnp.arange(Hp, dtype=jnp.int32)[None, :, None], (C, Hp, D))
 
     plan = _subset_dp_plan(states_np)
-    ybar_prev, key_prev, best_prev = Wc, key1, best1
-    out_y, out_k, out_b, masks = [], [], [], []
+    ybar_prev, key_prev = Wc, key1
+    outs = {name: [] for name in collect}
+    masks = []
     for parent_pos, add_slot in plan:
         pp = jnp.asarray(parent_pos)
         aa = jnp.asarray(add_slot)
         pv = jnp.take(ybar_prev, pp, axis=1)
         kv = jnp.take(key_prev, pp, axis=1)
-        bv = jnp.take(best_prev, pp, axis=1)
         va = jnp.take(Wc, aa, axis=1)
         ka = jnp.take(key1, aa, axis=1)
-        ba = jnp.broadcast_to(aa[None, :, None], kv.shape)
         better = ka > kv
         ybar_prev = jnp.where(better, va, pv).astype(f32)
         key_prev = jnp.where(better, ka, kv).astype(f32)
-        best_prev = jnp.where(better, ba, bv)
-        out_y.append(ybar_prev)
-        out_k.append(key_prev)
-        out_b.append(best_prev)
+        if "ybar" in outs:
+            outs["ybar"].append(ybar_prev)
+        if "key" in outs:
+            outs["key"].append(key_prev)
         masks.append(better)
-    return (jnp.concatenate(out_y, axis=1), jnp.concatenate(out_b, axis=1),
-            jnp.concatenate(out_k, axis=1), (plan, masks))
+    return ({name: jnp.concatenate(v, axis=1) for name, v in outs.items()},
+            (plan, masks))
 
 
 def _dp_hard_resp(qa, plan, masks, Hp):
@@ -168,12 +175,18 @@ def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
     neg_inf = jnp.float32(-3e38)
 
     dp_aux = None
+    best = key_val = None
     if dp_winner:
         # subset-lattice DP: one masked max per state (each size-m state
-        # extends its size-(m-1) parent) instead of Hp full (C,S,D) passes
+        # extends its size-(m-1) parent) instead of Hp full (C,S,D) passes;
+        # only the ybar tile is materialised (best is never needed in this
+        # path, key only inside the soft-rho branch)
         import numpy as _np
-        ybar, best, key_val, dp_aux = _dp_winner_tile(
-            Wc, _np.asarray(sa.states), magnitude)
+        tile, dp_aux = _dp_winner_tile(
+            Wc, _np.asarray(sa.states), magnitude, collect=("ybar",))
+        ybar = tile["ybar"]
+        y_dot = jnp.einsum("nd,nsd->ns", y, ybar)                       # (C,S)
+        ybar2 = jnp.sum(ybar * ybar, axis=2)                            # (C,S)
     else:
         # reference formulation (fori_loop rather than a Python unroll:
         # the unrolled (C,S,D) chain made remote compiles take minutes)
@@ -192,10 +205,9 @@ def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
             0, Hp, win_body,
             (jnp.full((C, S, D), neg_inf), jnp.zeros((C, S, D), jnp.int32),
              jnp.full((C, S, D), neg_inf)))
-    # every multi state has >=2 active slots, so ybar is fully defined
-
-    y_dot = jnp.einsum("nd,nsd->ns", y, ybar)                           # (C,S)
-    ybar2 = jnp.sum(ybar * ybar, axis=2)                                # (C,S)
+        # every multi state has >=2 active slots, so ybar is fully defined
+        y_dot = jnp.einsum("nd,nsd->ns", y, ybar)                       # (C,S)
+        ybar2 = jnp.sum(ybar * ybar, axis=2)                            # (C,S)
     lik_multi = (2.0 * y_dot - ybar2) * inv2s2
     prior_multi = sa.abs_states * log_odds_scalar                       # (S,)
     logits_multi = beta * lik_multi + prior_beta * prior_multi[None, :]
@@ -260,14 +272,23 @@ def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
         # value-space softened max: A propto exp(rho * (K_h - K_max)) — well
         # defined for any sign of W (a ratio form K^rho/K_max^rho misbehaves
         # for negative losers), bounded <= 1, and -> the hard winner as
-        # rho -> inf
-        kv_scale = jnp.maximum(jnp.abs(key_val), 1e-6)   # scale invariance
+        # rho -> inf.  Needs the full (C,S,D) winner-key tile; in the DP
+        # path it is rebuilt HERE so the tile only costs HBM traffic when
+        # the rho>0 branch actually executes at runtime
+        if dp_aux is not None:
+            import numpy as _np
+            kv_full = _dp_winner_tile(
+                Wc, _np.asarray(sa.states), magnitude,
+                collect=("key",))[0]["key"]
+        else:
+            kv_full = key_val
+        kv_scale = jnp.maximum(jnp.abs(kv_full), 1e-6)   # scale invariance
 
         def powers(h):
             vh = jax.lax.dynamic_slice_in_dim(Wc, h, 1, axis=1)
             kh = jnp.abs(vh) if magnitude else vh
             act_h = jax.lax.dynamic_slice_in_dim(act_f, h, 1, axis=1)
-            gap = jnp.minimum(kh - key_val, 0.0) / kv_scale             # <= 0
+            gap = jnp.minimum(kh - kv_full, 0.0) / kv_scale             # <= 0
             return act_h[None, :, 0, None] * jnp.exp(rho * gap)         # (C,S,D)
 
         def dbody(h, denom):

@@ -33,7 +33,10 @@ class MCA(ETModel):
     #: |W|-ranked winner (MMCA) vs plain value max (MCA)
     magnitude: bool = False
 
-    def __init__(self, D, H, Hprime, gamma, to_learn=None, chunk=256):
+    def __init__(self, D, H, Hprime, gamma, to_learn=None, chunk=2048):
+        # chunk bounds the (chunk, S, D) winner tile; 2048 keeps it tens of
+        # MB at bars/patches-like configs while amortising per-chunk
+        # overheads (the old 256 default left 2-3x throughput on the table)
         super().__init__(D, H, Hprime, gamma, to_learn, chunk)
         self.space = states_mod.binary_state_space(Hprime, gamma)
         self.sa = state_arrays_from(self.space)
