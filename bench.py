@@ -205,7 +205,7 @@ def main():
                65536, iters=3)
     # batch sizes amortise the relay/dispatch fixed cost (~3 ms/call —
     # measured: MCA "2.4M" at N=16k vs 6.2M at N=262k, same program)
-    run_family("gsc", lambda: GSC(64, 100, 6, 3, chunk=4096), 262144,
+    run_family("gsc", lambda: GSC(64, 100, 6, 3, chunk=8192), 262144,
                iters=3)
     run_family("mca", lambda: MCA(64, 100, 6, 3, chunk=8192), 262144,
                iters=3)

@@ -188,6 +188,34 @@ def inverse_bl(L):
     return Sig
 
 
+def _gsc_level_plan(act_np):
+    """Group enumerated supports by size m (static host combinatorics).
+
+    States from binary_state_space are size-ordered, so each level is a
+    contiguous [off, off+S_m) slice of the state axis.  Returns
+    [(off, idx_m)] with idx_m the (S_m, m) active-slot indices per state.
+    The on-chip ablation (tools/ablate_gsc.py) showed the batched cholesky
+    is THE GSC bottleneck (15 -> 5.2 M dp/s); the padded Hp x Hp systems
+    spend ~m^3/Hp^3 of their recurrence work on real entries (8/216 at
+    m=2), so solving each level at its true size removes ~90% of it.
+    """
+    import numpy as np
+
+    sizes = act_np.astype(bool).sum(axis=1)
+    plan = []
+    off = 0
+    for m in range(int(sizes.min()), int(sizes.max()) + 1):
+        rows = np.flatnonzero(sizes == m)
+        if rows.size == 0:
+            continue
+        assert rows[0] == off and rows[-1] == off + rows.size - 1, (
+            "state enumeration is not size-ordered")
+        idx = np.stack([np.flatnonzero(act_np[r]) for r in rows])
+        plan.append((off, idx.astype(np.int32)))
+        off += rows.size
+    return plan
+
+
 def _chunk_gsc_estats(y, w, W, gram, gram_diag, sigma2, pi, mu, psi,
                       sa: LinearStateArrays, Hp: int, beta, prior_beta,
                       batch_last: bool = True):
@@ -215,27 +243,50 @@ def _chunk_gsc_estats(y, w, W, gram, gram_diag, sigma2, pi, mu, psi,
     # padded per-(datapoint,state) posterior precision and natural params:
     # M_pad = act_a*act_b*G/sigma2 + diag(act/psi + (1-act))
     if batch_last:
-        # entry-wise batch-last layout: every matrix entry is one flat
-        # (C*S,) vector with fully packed lanes (see chol_bl note above)
-        B = C * S
-        act_cols = [act[:, i] for i in range(Hp)]                       # (S,)
-        Mbl = [[None] * Hp for _ in range(Hp)]
-        for i in range(Hp):
-            for j in range(i + 1):
-                aij = act_cols[i] * act_cols[j]
-                e = (G[:, i, j] * inv_s2)[:, None] * aij[None, :]       # (C,S)
-                if i == j:
-                    e = e + (act_cols[i] * inv_psi
-                             + (1.0 - act_cols[i]))[None, :]
-                Mbl[i][j] = e.reshape(B)
-        bbl = [(act_cols[i][None, :]
-                * (proj[:, i] * inv_s2 + mu * inv_psi)[:, None]
-                ).reshape(B) for i in range(Hp)]
-        L = chol_bl(Mbl)
-        logdet = logdet_bl(L).reshape(C, S)
-        kap = solve_bl(L, bbl)                                          # Hp x (B,)
-        Sig_bl = inverse_bl(L)
-        bMb = sum(bbl[i] * kap[i] for i in range(Hp)).reshape(C, S)
+        # level-grouped entry-wise layout: states of support size m solve
+        # an m x m system (not a padded Hp x Hp one) as flat (C*S_m,)
+        # entry vectors with fully packed lanes; Gram sub-blocks and the
+        # natural parameter are gathered per level with STATIC one-hot
+        # GEMMs (no act masking needed — every gathered entry is active)
+        import numpy as _np
+
+        plan = _gsc_level_plan(_np.asarray(sa.states) > 0.5)
+        G_flat = G.reshape(C, Hp * Hp)
+        bsrc = proj * inv_s2 + mu * inv_psi                             # (C,Hp)
+        logdet_parts, bMb_parts = [], []
+        level_data = []          # (off, S_m, idx, kap list, Sig entries)
+        for off, idx in plan:
+            S_m, m = idx.shape
+            E = [jnp.asarray(_np.eye(Hp, dtype=_np.float32)[idx[:, i]])
+                 for i in range(m)]                                     # (S_m,Hp)
+            EE = {}
+            for i in range(m):
+                for j in range(i + 1):
+                    EE[(i, j)] = jnp.asarray(
+                        (_np.eye(Hp, dtype=_np.float32)[idx[:, i]][:, :, None]
+                         * _np.eye(Hp, dtype=_np.float32)[idx[:, j]][:, None, :]
+                         ).reshape(S_m, Hp * Hp))
+            B_m = C * S_m
+            Mbl = [[None] * m for _ in range(m)]
+            for i in range(m):
+                for j in range(i + 1):
+                    e = jnp.dot(G_flat, EE[(i, j)].T,
+                                preferred_element_type=f32) * inv_s2    # (C,S_m)
+                    if i == j:
+                        e = e + inv_psi
+                    Mbl[i][j] = e.reshape(B_m)
+            bbl = [jnp.dot(bsrc, E[i].T,
+                           preferred_element_type=f32).reshape(B_m)
+                   for i in range(m)]
+            L = chol_bl(Mbl)
+            logdet_parts.append(logdet_bl(L).reshape(C, S_m))
+            kap = solve_bl(L, bbl)
+            Sig_lvl = inverse_bl(L)
+            bMb_parts.append(
+                sum(bbl[i] * kap[i] for i in range(m)).reshape(C, S_m))
+            level_data.append((off, S_m, m, E, EE, kap, Sig_lvl))
+        logdet = jnp.concatenate(logdet_parts, axis=1)                  # (C,S)
+        bMb = jnp.concatenate(bMb_parts, axis=1)                        # (C,S)
     else:
         act_ab = act[:, :, None] * act[:, None, :]                      # (S,Hp,Hp)
         eye = jnp.eye(Hp, dtype=f32)
@@ -291,21 +342,28 @@ def _chunk_gsc_estats(y, w, W, gram, gram_diag, sigma2, pi, mu, psi,
 
     # ---- sufficient statistics over the continuous latents sz = b*z
     if batch_last:
-        kap_cs = [kap[i].reshape(C, S) for i in range(Hp)]
-        sz_cand = jnp.stack(
-            [jnp.sum(q_multi * kc, axis=1) for kc in kap_cs], axis=1)   # (C,Hp)
-        # <sz sz^T> entries: q-weighted Sigma (masked) + kappa kappa^T
-        rows = [[None] * Hp for _ in range(Hp)]
-        for i in range(Hp):
-            for j in range(i + 1):
-                aij = (act_cols[i] * act_cols[j])[None, :]              # (1,S)
-                val = (Sig_bl[i][j].reshape(C, S) * aij
-                       + kap_cs[i] * kap_cs[j])
-                e = jnp.sum(q_multi * val, axis=1)                      # (C,)
-                rows[i][j] = e
-                rows[j][i] = e
-        szsz_cand = jnp.stack(
-            [jnp.stack(r, axis=1) for r in rows], axis=1)               # (C,Hp,Hp)
+        # accumulate <sz> and <sz sz^T> into the (Hp) candidate frame with
+        # the same static one-hot GEMMs, level by level
+        sz_cand = jnp.zeros((C, Hp), f32)
+        szsz_flat = jnp.zeros((C, Hp * Hp), f32)
+        for off, S_m, m, E, EE, kap, Sig_lvl in level_data:
+            q_m = q_multi[:, off:off + S_m]                             # (C,S_m)
+            kap_cs = [kap[i].reshape(C, S_m) for i in range(m)]
+            for i in range(m):
+                sz_cand = sz_cand + jnp.dot(q_m * kap_cs[i], E[i],
+                                            preferred_element_type=f32)
+                for j in range(i + 1):
+                    val = q_m * (Sig_lvl[i][j].reshape(C, S_m)
+                                 + kap_cs[i] * kap_cs[j])               # (C,S_m)
+                    ee = EE[(i, j)]
+                    if i != j:
+                        # symmetric scatter: (a_i,a_j) and (a_j,a_i)
+                        ee = ee + jnp.asarray(
+                            ee.reshape(S_m, Hp, Hp).transpose(0, 2, 1)
+                            .reshape(S_m, Hp * Hp))
+                    szsz_flat = szsz_flat + jnp.dot(
+                        val, ee, preferred_element_type=f32)
+        szsz_cand = szsz_flat.reshape(C, Hp, Hp)                        # (C,Hp,Hp)
     else:
         sz_cand = jnp.einsum("ns,nsh->nh", q_multi, kappa)              # (C,Hp)
         outer = (Sig * act_ab[None]

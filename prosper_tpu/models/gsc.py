@@ -32,7 +32,7 @@ class GSC(ETModel):
 
     param_names = ("W", "pi", "sigma", "mu", "psi")
 
-    def __init__(self, D, H, Hprime, gamma, to_learn=None, chunk=1024):
+    def __init__(self, D, H, Hprime, gamma, to_learn=None, chunk=4096):
         super().__init__(D, H, Hprime, gamma, to_learn, chunk)
         self.space = states_mod.binary_state_space(Hprime, gamma)
         self.sa = state_arrays_from(self.space)
