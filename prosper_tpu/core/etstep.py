@@ -458,7 +458,8 @@ def _linear_et_posterior_chunk(y: jnp.ndarray, W: jnp.ndarray,
     recon = jnp.dot(s_mean, W.T, preferred_element_type=f32)
 
     # top-L states as full-H vectors
-    top_q, top_u = jax.lax.top_k(q, top_L)                             # (N,L)
+    from prosper_tpu.core.select import top_l_argmax
+    top_q, top_u = top_l_argmax(q, top_L)
     u = top_u - 1                                                      # -1 -> zero state
     is_single = (u >= 0) & (u < H * K)
     sh = jnp.where(is_single, u // K, 0)                               # unit

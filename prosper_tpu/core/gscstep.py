@@ -483,7 +483,8 @@ def _gsc_posterior_chunk(y: jnp.ndarray, W: jnp.ndarray, sigma2, pi, mu, psi,
     sz_mean = (q_single * kappa1) + jnp.einsum("na,nah->nh", sz_cand, onehot)
     recon = jnp.dot(sz_mean, W.T, preferred_element_type=f32)
 
-    top_q, top_u = jax.lax.top_k(q, top_L)
+    from prosper_tpu.core.select import top_l_argmax
+    top_q, top_u = top_l_argmax(q, top_L)
     u = top_u - 1
     is_single = (u >= 0) & (u < H)
     single_vec = jax.nn.one_hot(jnp.where(is_single, u, 0), H,

@@ -407,7 +407,8 @@ def _max_et_posterior_chunk(y: jnp.ndarray, W: jnp.ndarray, sigma2,
              + jnp.einsum("ns,nsd->nd", q_multi,
                           jnp.where(ybar > neg_inf / 2, ybar, 0.0)))
 
-    top_q, top_u = jax.lax.top_k(q, top_L)
+    from prosper_tpu.core.select import top_l_argmax
+    top_q, top_u = top_l_argmax(q, top_L)
     u = top_u - 1
     is_single = (u >= 0) & (u < H)
     single_vec = jax.nn.one_hot(jnp.where(is_single, u, 0), H,

@@ -75,6 +75,28 @@ def top_hprime_candidates_dense(P_full: jnp.ndarray, w_norm: jnp.ndarray,
     return cand, onehot
 
 
+def top_l_argmax(q: jnp.ndarray, L: int):
+    """``lax.top_k`` replacement via L iterated argmaxes (decode hot path).
+
+    Same rationale as `top_hprime_candidates_dense`: top_k lowers poorly on
+    TPU (measured ~10 ms/131k-batch at 455 columns vs ~3 ms for 10 argmax
+    passes).  Assumes non-negative entries (posterior probabilities);
+    ties break like top_k (descending value, lowest index first).
+    Returns (top_q (N,L), top_u (N,L) int32).
+    """
+    N, M = q.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (N, M), 1)
+    vals, idxs = [], []
+    s = q
+    for _ in range(L):
+        i = jnp.argmax(s, axis=1).astype(jnp.int32)
+        hit = iota == i[:, None]
+        vals.append(jnp.max(s, axis=1))
+        idxs.append(i)
+        s = jnp.where(hit, -1.0, s)
+    return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1)
+
+
 def exact_count_mask(rng: jax.Array, N: int, frac,
                      valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Random {0,1} mask with exactly ceil(frac * n_valid) ones
