@@ -212,6 +212,26 @@ def main():
     run_family("mmca", lambda: MMCA(64, 100, 6, 3, chunk=8192), 262144,
                iters=3)
 
+    # ---- serving decode (model.inference, device-resident input) ------------
+    if want("decode"):
+        try:
+            model = BSC(D, H, Hp, GAMMA, chunk=CHUNK)
+            params = {"W": jnp.asarray(W0), "pi": jnp.float32(pi0),
+                      "sigma": jnp.float32(sigma0)}
+            y_dev = jnp.asarray(np.random.default_rng(3).standard_normal(
+                (N_TPU, D)).astype(np.float32))
+            out = model.inference(params, {"y": y_dev}, top_L=10)
+            float(np.asarray(out["F"][0]))
+            best = 0.0
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = model.inference(params, {"y": y_dev}, top_L=10)
+                float(np.asarray(out["F"][0]))
+                best = max(best, N_TPU / (time.perf_counter() - t0))
+            families["decode"] = {"dps": round(best, 1), "top_L": 10}
+        except Exception as e:                      # noqa: BLE001
+            print(f"[bench] decode failed: {e!r}", file=sys.stderr)
+
     # ---- CPU reference baseline --------------------------------------------
     out = {}
     if want("bsc"):

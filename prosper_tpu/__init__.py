@@ -27,7 +27,8 @@ SURVEY.md provenance warning; citations are to SURVEY.md section/row):
 __version__ = "0.1.0"
 
 from prosper_tpu.engine.anneal import LinearAnnealing
-from prosper_tpu.engine.em import EM
+from prosper_tpu.engine.em import EM, run_restarts
 from prosper_tpu.parallel.mesh import MeshRuntime
 
-__all__ = ["LinearAnnealing", "EM", "MeshRuntime", "__version__"]
+__all__ = ["LinearAnnealing", "EM", "run_restarts", "MeshRuntime",
+           "__version__"]

@@ -87,6 +87,32 @@ def coactivation_split(w_b: np.ndarray, Y: np.ndarray,
     return w1, w2
 
 
+def run_restarts(build_em, n_restarts: int, scanned: bool = True):
+    """Run ``n_restarts`` independent EM trainings, keep the best final F.
+
+    EM on these models is multi-modal (ROUND1/2: stable blend optima at the
+    patches scale); restarting from different inits and selecting by final
+    mean free energy is the classic remedy (VERDICT r1 next-round #6's
+    first lever — complementary to the online revival/splitting escapes).
+
+    ``build_em(i)`` must return a FRESH ``EM`` (model/anneal/data wiring,
+    seeded per restart) — annealing schedules are stateful, so they cannot
+    be shared across restarts.  Returns ``(best_params, summary)`` with
+    ``summary = {"F_means": [...], "best": index}``.
+    """
+    if n_restarts < 1:
+        raise ValueError(f"n_restarts must be >= 1, got {n_restarts}")
+    best_params, f_means, best_i = None, [], 0
+    for i in range(n_restarts):
+        em = build_em(i)
+        params = em.run_scanned() if scanned else em.run()
+        f = float(em.history[-1]["F_mean"])
+        f_means.append(f)
+        if best_params is None or f > f_means[best_i]:
+            best_params, best_i = params, i
+    return best_params, {"F_means": f_means, "best": best_i}
+
+
 class EM:
     """EM training loop.
 

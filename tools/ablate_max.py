@@ -23,7 +23,8 @@ from prosper_tpu.core.maxstep import (_dp_winner_tile,   # noqa: E402
 from prosper_tpu.core.select import top_hprime_candidates_dense  # noqa: E402
 
 D, H, Hp, GAMMA = 64, 100, 6, 3
-N = 16384
+import os
+N = int(os.environ.get("ABM_N", "131072"))
 
 
 def timeit(name, fn, args, iters=10, chunk=None):
