@@ -218,7 +218,8 @@ def _gsc_level_plan(act_np):
 
 def _chunk_gsc_estats(y, w, W, gram, gram_diag, sigma2, pi, mu, psi,
                       sa: LinearStateArrays, Hp: int, beta, prior_beta,
-                      batch_last: bool = True):
+                      batch_last: bool = True, state_axis=None,
+                      n_state_shards: int = 1):
     C, D = y.shape
     H = W.shape[1]
     S = sa.states.shape[0]
@@ -227,6 +228,30 @@ def _chunk_gsc_estats(y, w, W, gram, gram_diag, sigma2, pi, mu, psi,
     inv_s2 = 1.0 / sigma2
     inv_psi = 1.0 / psi
     log_odds = jnp.log(pi) - jnp.log1p(-pi)
+
+    # ---- local slice of the enumerated supports (SURVEY §5.7).  The
+    # level-grouped solver needs the static global level structure, so
+    # sharded slices use the padded (C,S_loc,Hp,Hp) tensor path; padded
+    # rows (act = 0) reduce to identity systems and are masked via svalid.
+    sharded = state_axis is not None and n_state_shards > 1
+    if sharded:
+        S_pad = -(-S // n_state_shards) * n_state_shards
+        S_loc = S_pad // n_state_shards
+        pad = S_pad - S
+        states_p = jnp.pad(sa.states, ((0, pad), (0, 0)))
+        absst_p = jnp.pad(sa.abs_states, (0, pad))
+        svalid_p = jnp.pad(jnp.ones((S,), f32), (0, pad))
+        srank = jax.lax.axis_index(state_axis)
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, srank * S_loc,
+                                                    S_loc, 0)
+        states_l, absst, svalid = sl(states_p), sl(absst_p), sl(svalid_p)
+        own_zs = (srank == 0).astype(f32)
+        S = S_loc
+        batch_last = False
+    else:
+        states_l, absst = sa.states, sa.abs_states
+        svalid = jnp.ones((S,), f32)
+        own_zs = jnp.float32(1.0)
 
     P = jnp.dot(y, W, preferred_element_type=f32)                       # (C,H)
     w_norm = jnp.sqrt(jnp.maximum(gram_diag, 1e-30))
@@ -237,8 +262,8 @@ def _chunk_gsc_estats(y, w, W, gram, gram_diag, sigma2, pi, mu, psi,
                 preferred_element_type=f32).reshape(C, Hp, H)
     G = jnp.einsum("nak,nbk->nab", T, onehot)                           # (C,Hp,Hp)
 
-    act = (sa.states > 0.5).astype(f32)                                 # (S,Hp)
-    k_s = sa.abs_states                                                 # (S,)
+    act = (states_l > 0.5).astype(f32)                                  # (S,Hp)
+    k_s = absst                                                         # (S,)
 
     # padded per-(datapoint,state) posterior precision and natural params:
     # M_pad = act_a*act_b*G/sigma2 + diag(act/psi + (1-act))
@@ -308,21 +333,28 @@ def _chunk_gsc_estats(y, w, W, gram, gram_diag, sigma2, pi, mu, psi,
                  - k_s[None, :] * (mu * mu) * (0.5 * inv_psi)
                  + 0.5 * bMb)                                           # (C,S)
     prior_multi = k_s * log_odds                                        # (S,)
+    neg_inf = jnp.float32(-3e38)
     logits_multi = beta * lik_multi + prior_beta * prior_multi[None, :]
+    logits_multi = jnp.where(svalid[None, :] > 0, logits_multi, neg_inf)
 
-    # singletons over ALL H (k = 1, scalar algebra)
+    # singletons over ALL H (k = 1, scalar algebra); zero/singletons are
+    # owned by state-rank 0 under state sharding
     M1 = inv_psi + gram_diag * inv_s2                                   # (H,)
     b1 = P * inv_s2 + mu * inv_psi                                      # (C,H)
     kappa1 = b1 / M1[None, :]
     lik_single = (-0.5 * jnp.log(psi) - 0.5 * jnp.log(M1)[None, :]
                   - (mu * mu) * (0.5 * inv_psi) + 0.5 * b1 * kappa1)
     logits_single = beta * lik_single + prior_beta * log_odds
+    logits_single = jnp.where(own_zs > 0, logits_single, neg_inf)
 
-    zero_logit = jnp.zeros((C, 1), f32)
+    zero_logit = jnp.where(own_zs > 0, jnp.zeros((C, 1), f32), neg_inf)
     logits = jnp.concatenate([zero_logit, logits_single, logits_multi], 1)
     m = jnp.max(logits, axis=1, keepdims=True)
+    if sharded:
+        m = jax.lax.pmax(m, state_axis)
     p = jnp.exp(logits - m)
-    Z = jnp.sum(p, axis=1, keepdims=True)
+    Z_local = jnp.sum(p, axis=1, keepdims=True)
+    Z = jax.lax.psum(Z_local, state_axis) if sharded else Z_local
     q = p / Z
     logZ = (m + jnp.log(Z))[:, 0]
 
@@ -331,9 +363,19 @@ def _chunk_gsc_estats(y, w, W, gram, gram_diag, sigma2, pi, mu, psi,
     F = logZ + (-beta * (0.5 * y2 * inv_s2) - beta * log_norm
                 + prior_beta * H * log_1mpi)
     logits_true = jnp.concatenate(
-        [zero_logit, lik_single + log_odds, lik_multi + prior_multi[None, :]],
-        axis=1)
-    F_true = (jax.nn.logsumexp(logits_true, axis=1)
+        [zero_logit,
+         jnp.where(own_zs > 0, lik_single + log_odds, neg_inf),
+         jnp.where(svalid[None, :] > 0, lik_multi + prior_multi[None, :],
+                   neg_inf)], axis=1)
+    m_t = jnp.max(logits_true, axis=1, keepdims=True)
+    if sharded:
+        m_t = jax.lax.pmax(m_t, state_axis)
+        Z_t = jax.lax.psum(
+            jnp.sum(jnp.exp(logits_true - m_t), axis=1, keepdims=True),
+            state_axis)
+    else:
+        Z_t = jnp.sum(jnp.exp(logits_true - m_t), axis=1, keepdims=True)
+    F_true = ((m_t + jnp.log(Z_t))[:, 0]
               - 0.5 * y2 * inv_s2 - log_norm + H * log_1mpi)
 
     q_single = q[:, 1:1 + H]                                            # (C,H)
@@ -391,10 +433,12 @@ def _chunk_gsc_estats(y, w, W, gram, gram_diag, sigma2, pi, mu, psi,
         q_multi, k_s, preferred_element_type=f32)
     sum_abs = jnp.sum(abs_n * wv)
 
+    # per-datapoint scalars owned by state-rank 0 (caller psums over the
+    # state axis too)
     sums = dict(
         xs=sum_xs, ss=sum_ss, s=sum_s, abs=sum_abs,
-        y2=jnp.sum(y2 * wv), n=jnp.sum(wv),
-        F=jnp.sum(F * wv), F_true=jnp.sum(F_true * wv),
+        y2=own_zs * jnp.sum(y2 * wv), n=own_zs * jnp.sum(wv),
+        F=own_zs * jnp.sum(F * wv), F_true=own_zs * jnp.sum(F_true * wv),
     )
     return F, sums
 
@@ -500,7 +544,8 @@ def _gsc_posterior_chunk(y: jnp.ndarray, W: jnp.ndarray, sigma2, pi, mu, psi,
 def gsc_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
                  sigma2, pi, mu, psi, sa: LinearStateArrays, Hp: int,
                  beta, prior_beta, chunk: int = 1024,
-                 batch_last: bool = True) -> Tuple[jnp.ndarray, Dict]:
+                 batch_last: bool = True, state_axis=None,
+                 n_state_shards: int = 1) -> Tuple[jnp.ndarray, Dict]:
     N, D = y.shape
     H = W.shape[1]
     gram = jnp.dot(W.T, W, preferred_element_type=jnp.float32)
@@ -508,7 +553,8 @@ def gsc_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
 
     body = partial(_chunk_gsc_estats, W=W, gram=gram, gram_diag=gram_diag,
                    sigma2=sigma2, pi=pi, mu=mu, psi=psi, sa=sa, Hp=Hp,
-                   beta=beta, prior_beta=prior_beta, batch_last=batch_last)
+                   beta=beta, prior_beta=prior_beta, batch_last=batch_last,
+                   state_axis=state_axis, n_state_shards=n_state_shards)
     if N <= chunk:
         return body(y, weight)
     if N % chunk != 0:

@@ -155,13 +155,37 @@ def _dp_hard_resp(qa, plan, masks, Hp):
 
 def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
                       sa: LinearStateArrays, Hp: int, magnitude: bool,
-                      beta, prior_beta, rho=0.0, dp_winner: bool = True):
+                      beta, prior_beta, rho=0.0, dp_winner: bool = True,
+                      state_axis=None, n_state_shards: int = 1):
     """E-statistics for one chunk: union {0} ∪ {singletons} ∪ {multi}."""
     C, D = y.shape
     H = W.shape[1]
     S = sa.states.shape[0]
     f32 = jnp.float32
     inv2s2 = 0.5 / sigma2
+
+    # ---- local slice of the enumerated states (SURVEY §5.7: the state axis
+    # is sharded like the linear family's, with the same online-logsumexp
+    # combine; the subset-lattice DP needs the GLOBAL lattice, so sharded
+    # shards use the per-state fori formulation on their slice)
+    if state_axis is not None and n_state_shards > 1:
+        S_pad = -(-S // n_state_shards) * n_state_shards
+        S_loc = S_pad // n_state_shards
+        pad = S_pad - S
+        states_p = jnp.pad(sa.states, ((0, pad), (0, 0)))
+        absst_p = jnp.pad(sa.abs_states, (0, pad))
+        svalid_p = jnp.pad(jnp.ones((S,), f32), (0, pad))
+        srank = jax.lax.axis_index(state_axis)
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, srank * S_loc,
+                                                    S_loc, 0)
+        states_l, absst, svalid = sl(states_p), sl(absst_p), sl(svalid_p)
+        own_zs = (srank == 0).astype(f32)
+        S = S_loc
+        dp_winner = False
+    else:
+        states_l, absst = sa.states, sa.abs_states
+        svalid = jnp.ones((S,), f32)
+        own_zs = jnp.float32(1.0)
 
     P = jnp.dot(y, W, preferred_element_type=f32)                       # (C,H)
     w_norm = jnp.sqrt(jnp.maximum(gram_diag, 1e-30))
@@ -171,7 +195,7 @@ def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
                  preferred_element_type=f32).reshape(C, Hp, D)           # (C,Hp,D)
 
     # ---- reconstruction per multi state: winner-take-all over active slots
-    act = sa.states > 0.5                                               # (S,Hp) bool
+    act = states_l > 0.5                                                # (S,Hp) bool
     neg_inf = jnp.float32(-3e38)
 
     dp_aux = None
@@ -205,22 +229,32 @@ def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
             0, Hp, win_body,
             (jnp.full((C, S, D), neg_inf), jnp.zeros((C, S, D), jnp.int32),
              jnp.full((C, S, D), neg_inf)))
-        # every multi state has >=2 active slots, so ybar is fully defined
+        # every REAL multi state has >=2 active slots; padded states (state
+        # sharding) have none — zero their ybar so downstream arithmetic
+        # stays finite (their logits are masked to neg via svalid anyway)
+        ybar = jnp.where(key_val > neg_inf / 2, ybar, 0.0)
         y_dot = jnp.einsum("nd,nsd->ns", y, ybar)                       # (C,S)
         ybar2 = jnp.sum(ybar * ybar, axis=2)                            # (C,S)
     lik_multi = (2.0 * y_dot - ybar2) * inv2s2
-    prior_multi = sa.abs_states * log_odds_scalar                       # (S,)
+    prior_multi = absst * log_odds_scalar                               # (S,)
     logits_multi = beta * lik_multi + prior_beta * prior_multi[None, :]
+    logits_multi = jnp.where(svalid[None, :] > 0, logits_multi, neg_inf)
 
-    # ---- singletons over ALL H (ybar = W_h for both MCA and MMCA)
+    # ---- singletons over ALL H (ybar = W_h for both MCA and MMCA);
+    # zero/singleton states are owned by state-rank 0
     lik_single = (2.0 * P - gram_diag[None, :]) * inv2s2                # (C,H)
     logits_single = beta * lik_single + prior_beta * log_odds_scalar
+    logits_single = jnp.where(own_zs > 0, logits_single, neg_inf)
 
-    zero_logit = jnp.zeros((C, 1), f32)
+    zero_logit = jnp.where(own_zs > 0, jnp.zeros((C, 1), f32), neg_inf)
     logits = jnp.concatenate([zero_logit, logits_single, logits_multi], 1)
     m = jnp.max(logits, axis=1, keepdims=True)
+    if state_axis is not None and n_state_shards > 1:
+        m = jax.lax.pmax(m, state_axis)
     p = jnp.exp(logits - m)
-    Z = jnp.sum(p, axis=1, keepdims=True)
+    Z_local = jnp.sum(p, axis=1, keepdims=True)
+    Z = (jax.lax.psum(Z_local, state_axis)
+         if state_axis is not None and n_state_shards > 1 else Z_local)
     q = p / Z
     logZ = (m + jnp.log(Z))[:, 0]
 
@@ -231,9 +265,19 @@ def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
                 + prior_beta * H * log_p0)
 
     logits_true = jnp.concatenate(
-        [zero_logit, lik_single + log_odds_scalar,
-         lik_multi + prior_multi[None, :]], 1)
-    F_true = (jax.nn.logsumexp(logits_true, axis=1)
+        [zero_logit,
+         jnp.where(own_zs > 0, lik_single + log_odds_scalar, neg_inf),
+         jnp.where(svalid[None, :] > 0, lik_multi + prior_multi[None, :],
+                   neg_inf)], 1)
+    m_t = jnp.max(logits_true, axis=1, keepdims=True)
+    if state_axis is not None and n_state_shards > 1:
+        m_t = jax.lax.pmax(m_t, state_axis)
+        Z_t = jax.lax.psum(
+            jnp.sum(jnp.exp(logits_true - m_t), axis=1, keepdims=True),
+            state_axis)
+    else:
+        Z_t = jnp.sum(jnp.exp(logits_true - m_t), axis=1, keepdims=True)
+    F_true = ((m_t + jnp.log(Z_t))[:, 0]
               - y2 * inv2s2 - log_norm + H * log_p0)
 
     q_zero = q[:, 0]
@@ -241,12 +285,13 @@ def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
     q_multi = q[:, 1 + H:]                                              # (C,S)
     wv = w.astype(f32)
 
-    # ---- <s> and activity
-    s_cand = jnp.dot(q_multi, sa.states, preferred_element_type=f32)    # (C,Hp)
+    # ---- <s> and activity (q_single/q_zero are exactly zero on non-owner
+    # state shards — the neg logits above — so local sums psum correctly)
+    s_cand = jnp.dot(q_multi, states_l, preferred_element_type=f32)     # (C,Hp)
     s_full = q_single + jnp.einsum("na,nah->nh", s_cand, onehot)
     sum_s = jnp.sum(s_full * wv[:, None], axis=0)
     abs_n = jnp.sum(q_single, axis=1) + jnp.dot(
-        q_multi, sa.abs_states, preferred_element_type=f32)
+        q_multi, absst, preferred_element_type=f32)
     sum_abs = jnp.sum(abs_n * wv)
 
     # ---- winner responsibilities for the M-step:
@@ -320,10 +365,13 @@ def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
     resid = q_zero * y2 + resid_single + resid_multi
     sum_resid = jnp.sum(resid * wv)
 
+    # per-datapoint scalars are owned by state-rank 0 (the caller psums
+    # sums over the state axis too, so contributions must count once)
     sums = dict(
         numer=numer, denom=denom, s=sum_s, abs=sum_abs,
-        resid=sum_resid, y2=jnp.sum(y2 * wv), n=jnp.sum(wv),
-        F=jnp.sum(F * wv), F_true=jnp.sum(F_true * wv),
+        resid=sum_resid, y2=own_zs * jnp.sum(y2 * wv),
+        n=own_zs * jnp.sum(wv),
+        F=own_zs * jnp.sum(F * wv), F_true=own_zs * jnp.sum(F_true * wv),
     )
     return F, sums
 
@@ -425,11 +473,14 @@ def max_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
                  sigma2, log_odds_scalar, sa: LinearStateArrays, Hp: int,
                  magnitude: bool, beta, prior_beta,
                  chunk: int = 256, rho=0.0,
-                 dp_winner: bool = True) -> Tuple[jnp.ndarray, Dict]:
+                 dp_winner: bool = True, state_axis=None,
+                 n_state_shards: int = 1) -> Tuple[jnp.ndarray, Dict]:
     """Full-shard max-superposition E-step, chunked like linear_et_estep.
 
     ``chunk`` bounds the (chunk, S, D) reconstruction tile; pick it so
     chunk * S * D * ~16 bytes fits comfortably in HBM working set.
+    With ``state_axis`` the enumerated states are sharded over that mesh
+    axis (SURVEY §5.7) and the caller must psum the sums over it as well.
     """
     N, D = y.shape
     H = W.shape[1]
@@ -438,7 +489,8 @@ def max_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
     body = partial(_chunk_max_estats, W=W, gram_diag=gram_diag,
                    sigma2=sigma2, log_odds_scalar=log_odds_scalar, sa=sa,
                    Hp=Hp, magnitude=magnitude, beta=beta,
-                   prior_beta=prior_beta, rho=rho, dp_winner=dp_winner)
+                   prior_beta=prior_beta, rho=rho, dp_winner=dp_winner,
+                   state_axis=state_axis, n_state_shards=n_state_shards)
     if N <= chunk:
         return body(y, weight)
     if N % chunk != 0:

@@ -40,7 +40,8 @@ class GSC(ETModel):
     def _extra_init(self, y, rng):
         return {"mu": jnp.float32(0.0), "psi": jnp.float32(1.0)}
 
-    def step_fn(self, params, data, sched, rng, axis_name: Optional[str] = None):
+    def step_fn(self, params, data, sched, rng, axis_name: Optional[str] = None,
+                state_axis: Optional[str] = None, n_state_shards: int = 1):
         y = data["y"]
         valid = data["valid"]
         N = y.shape[0]
@@ -54,8 +55,12 @@ class GSC(ETModel):
         F, sums = gsc_et_estep(
             y, weight, params["W"], params["sigma"] ** 2, params["pi"],
             params["mu"], params["psi"], self.sa, self.Hprime,
-            sched["beta"], sched["prior_beta"], self.chunk)
+            sched["beta"], sched["prior_beta"], self.chunk,
+            state_axis=state_axis, n_state_shards=n_state_shards)
         sums = jax.tree_util.tree_map(lambda a: maybe_psum(a, axis_name), sums)
+        if state_axis is not None and n_state_shards > 1:
+            sums = jax.tree_util.tree_map(
+                lambda a: jax.lax.psum(a, state_axis), sums)
 
         new = dict(params)
         n_used = jnp.maximum(sums["n"], 1.0)

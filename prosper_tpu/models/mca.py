@@ -49,7 +49,8 @@ class MCA(ETModel):
 
     # -- fused EM step --------------------------------------------------------
 
-    def step_fn(self, params, data, sched, rng, axis_name: Optional[str] = None):
+    def step_fn(self, params, data, sched, rng, axis_name: Optional[str] = None,
+                state_axis: Optional[str] = None, n_state_shards: int = 1):
         y = data["y"]
         valid = data["valid"]
         N = y.shape[0]
@@ -64,8 +65,12 @@ class MCA(ETModel):
         F, sums = max_et_estep(
             y, weight, params["W"], sigma2, self._log_odds(params), self.sa,
             self.Hprime, self.magnitude, sched["beta"], sched["prior_beta"],
-            self.chunk, rho=sched["rho"])
+            self.chunk, rho=sched["rho"], state_axis=state_axis,
+            n_state_shards=n_state_shards)
         sums = jax.tree_util.tree_map(lambda a: maybe_psum(a, axis_name), sums)
+        if state_axis is not None and n_state_shards > 1:
+            sums = jax.tree_util.tree_map(
+                lambda a: jax.lax.psum(a, state_axis), sums)
 
         new = dict(params)
         n_used = jnp.maximum(sums["n"], 1.0)

@@ -57,20 +57,25 @@ def test_state_shard_count_not_dividing_S():
 
 
 def test_state_mesh_with_non_state_model():
-    """Models without state-sharding support run state-replicated on a
-    ('data','state') mesh instead of raising TypeError (review finding)."""
-    from prosper_tpu.models.mca import MCA
+    """Models without state-sharding support (mixtures — no enumerated
+    state axis) run state-replicated on a ('data','state') mesh instead of
+    raising TypeError (review finding).  [The ET families all support
+    state sharding as of round 2 — see the equivalence tests below.]"""
+    from prosper_tpu.models.mixtures import MoG
     from prosper_tpu.engine.em import EM
 
-    model = MCA(16, 8, 5, 3, chunk=64)
-    gt = bars_gt_params(model, intensity=10.0, sigma=1.0)
+    model = MoG(D=8, K=4)
+    rng = np.random.default_rng(4)
+    mus = rng.standard_normal((4, 8)).astype(np.float32) * 4.0
+    gt = {"mu": mus, "pi": np.full((4,), 0.25, np.float32),
+          "sigma": np.full((4,), 0.5, np.float32)}
     data = model.generate_data(gt, 128, seed=4)
     em1 = EM(model, LinearAnnealing(3), {"y": data["y"]}, seed=1)
     p1 = em1.run()
     rt = MeshRuntime(mesh_shape=(4, 2), axis_names=("data", "state"))
     em2 = EM(model, LinearAnnealing(3), {"y": data["y"]}, seed=1, runtime=rt)
     p2 = em2.run()
-    np.testing.assert_allclose(np.asarray(p1["W"]), np.asarray(p2["W"]),
+    np.testing.assert_allclose(np.asarray(p1["mu"]), np.asarray(p2["mu"]),
                                rtol=2e-3, atol=2e-3)
 
 
@@ -96,3 +101,54 @@ def test_state_sharding_big_S_with_padding():
     F1 = [h["Q_mean"] for h in em1.history]
     F2 = [h["Q_mean"] for h in em2.history]
     np.testing.assert_allclose(F1, F2, rtol=1e-3)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (1, 8)])
+def test_max_family_state_sharding_equivalence(mesh_shape):
+    """MCA/MMCA state sharding (round 2 — closes the 'linear family only'
+    partial): sharded shards use the per-state winner loop on their slice;
+    combine must match the single-device subset-lattice DP exactly."""
+    from prosper_tpu.models.mca import MCA, MMCA
+
+    for cls, seed in ((MCA, 11), (MMCA, 12)):
+        model = cls(16, 8, 5, 3, chunk=64)
+        gt = bars_gt_params(model, intensity=10.0, sigma=1.0)
+        data = model.generate_data(gt, 128, seed=seed)
+        em1 = EM(model, LinearAnnealing(3), {"y": data["y"]}, seed=1)
+        p1 = em1.run()
+        rt = MeshRuntime(mesh_shape=mesh_shape,
+                         axis_names=("data", "state"))
+        em2 = EM(model, LinearAnnealing(3), {"y": data["y"]}, seed=1,
+                 runtime=rt)
+        p2 = em2.run()
+        np.testing.assert_allclose(np.asarray(p1["W"]), np.asarray(p2["W"]),
+                                   rtol=2e-3, atol=2e-3)
+        F1 = [h["Q_mean"] for h in em1.history]
+        F2 = [h["Q_mean"] for h in em2.history]
+        np.testing.assert_allclose(F1, F2, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (1, 8)])
+def test_gsc_state_sharding_equivalence(mesh_shape):
+    """GSC state sharding: sharded slices take the padded tensor solver
+    (the level-grouped path needs the static global level structure);
+    results must match the single-device level-grouped step."""
+    from prosper_tpu.models.gsc import GSC
+
+    model = GSC(16, 12, 5, 3, chunk=64)
+    rng = np.random.default_rng(21)
+    gt = {"W": rng.standard_normal((16, 12)).astype(np.float32) * 2.0,
+          "pi": np.float32(0.15), "sigma": np.float32(0.5),
+          "mu": np.float32(1.0), "psi": np.float32(0.5)}
+    data = model.generate_data(gt, 128, seed=22)
+    em1 = EM(model, LinearAnnealing(3), {"y": data["y"]}, seed=1)
+    p1 = em1.run()
+    rt = MeshRuntime(mesh_shape=mesh_shape, axis_names=("data", "state"))
+    em2 = EM(model, LinearAnnealing(3), {"y": data["y"]}, seed=1,
+             runtime=rt)
+    p2 = em2.run()
+    np.testing.assert_allclose(np.asarray(p1["W"]), np.asarray(p2["W"]),
+                               rtol=2e-3, atol=2e-3)
+    F1 = [h["Q_mean"] for h in em1.history]
+    F2 = [h["Q_mean"] for h in em2.history]
+    np.testing.assert_allclose(F1, F2, rtol=2e-3, atol=2e-3)
