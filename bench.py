@@ -212,6 +212,19 @@ def main():
     run_family("mmca", lambda: MMCA(64, 100, 6, 3, chunk=8192), 262144,
                iters=3)
 
+    # mixtures (MoG at a clustering-scale config) — completes the matrix
+    if want("mog"):
+        try:
+            from prosper_tpu.models.mixtures import MoG
+            model = MoG(D=64, K=32, chunk=65536)
+            params = model.standard_init(
+                {"y": np.random.default_rng(5).standard_normal(
+                    (1024, 64)).astype(np.float32)}, seed=6)
+            families["mog"] = _family_entry(
+                _measure_step(model, params, 524288, 3, groups=2))
+        except Exception as e:                      # noqa: BLE001
+            print(f"[bench] mog failed: {e!r}", file=sys.stderr)
+
     # ---- serving decode (model.inference, device-resident input) ------------
     if want("decode"):
         try:
