@@ -158,20 +158,22 @@ def main():
     results, families = {}, {}
 
     # ---- headline: BSC patches config, both backends ------------------------
+    S_bsc = None
     if want("bsc"):
         for backend in ("pallas", "xla"):
             try:
                 model = BSC(D, H, Hp, GAMMA, chunk=CHUNK, backend=backend)
+                S_bsc = model.sa.states.shape[0]
                 params = {"W": jnp.asarray(W0), "pi": jnp.float32(pi0),
                           "sigma": jnp.float32(sigma0)}
                 results[backend] = _measure_step(model, params, N_TPU, ITERS)
             except Exception as e:                  # noqa: BLE001
                 print(f"[bench] bsc/{backend} failed: {e!r}", file=sys.stderr)
-        S_bsc = model.sa.states.shape[0]
-        families["bsc"] = _family_entry(
-            max(results.values()), linear_flops_per_dp(D, H, Hp, S_bsc))
-        families["bsc"]["backends"] = {k: round(v, 1)
-                                       for k, v in results.items()}
+        if results:
+            families["bsc"] = _family_entry(
+                max(results.values()), linear_flops_per_dp(D, H, Hp, S_bsc))
+            families["bsc"]["backends"] = {k: round(v, 1)
+                                           for k, v in results.items()}
 
     # ---- family matrix (BASELINE.md row configs) ----------------------------
     def run_family(name, factory, N, iters=5, flops=None, backend_note=None):
@@ -247,13 +249,13 @@ def main():
 
     # ---- CPU reference baseline --------------------------------------------
     out = {}
-    if want("bsc"):
+    if want("bsc") and results:
         y_cpu = np.random.default_rng(0).standard_normal(
             (N_CPU, D)).astype(np.float64)
         cpu_dps = numpy_baseline_dps(y_cpu, W0.astype(np.float64),
                                      sigma0, pi0)
         tpu_dps = max(results.values())
-        raw, useful = linear_flops_per_dp(D, H, Hp, 154)
+        raw, useful = linear_flops_per_dp(D, H, Hp, S_bsc)
         out = {
             "metric": ("BSC-ET E-step throughput "
                        "(patches config D=256 H=300 Hp=8 gamma=4)"),

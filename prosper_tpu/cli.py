@@ -198,7 +198,11 @@ def cmd_train(args) -> int:
     if "valid" in data:
         v = np.asarray(data["valid"])
         padded["valid"][:v.shape[0]] = v
-    if "F_prev" in ckpt_extra and ckpt_extra["F_prev"].shape[0] <= y.shape[0]:
+    # compare against the PADDED length — the checkpoint stores F_prev at
+    # the padded training shape, which exceeds the raw dataset length
+    # whenever static-shape padding occurred (review r2)
+    if ("F_prev" in ckpt_extra
+            and ckpt_extra["F_prev"].shape[0] <= padded["y"].shape[0]):
         fp = np.zeros((padded["y"].shape[0],), np.float32)
         fp[:ckpt_extra["F_prev"].shape[0]] = ckpt_extra["F_prev"]
         padded["F_prev"] = fp
@@ -222,6 +226,11 @@ def cmd_train(args) -> int:
     if "revive_rng" in ckpt_extra:
         # ... and the revival PCG64 chain, so revivals replay identically
         em.restore_revival_rng(ckpt_extra["revive_rng"])
+    if "revive_last" in ckpt_extra:
+        # ... and the revival cadence (last-fired iteration), so revival
+        # TIMING also matches the uninterrupted run when the checkpoint
+        # step is not aligned with the revival period (review r2)
+        em._last_revive = int(ckpt_extra["revive_last"])
     if args.scan:
         params = em.run_scanned()
     else:

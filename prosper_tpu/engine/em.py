@@ -426,7 +426,10 @@ class EM:
             # E-step can break the symmetry
             while split_pool:
                 b = split_pool.pop(0)
-                if b in used:
+                if b in used or b == col:
+                    # b == col would overwrite the freed column with itself:
+                    # the coact split would drop one recovered atom and the
+                    # symmetric split would cancel to a no-op (review r2)
                     continue
                 if self.split_coact:
                     parts = coactivation_split(
@@ -512,11 +515,20 @@ class EM:
             from prosper_tpu.io import checkpoint
             # F_prev rides along so a resumed run's Ncut mask matches the
             # uninterrupted trajectory (it ranks by the previous iteration's
-            # free energies — models/base.py design note)
-            extra = {"F_prev": np.asarray(
-                jax.device_get(self.data["F_prev"]))}
+            # free energies — models/base.py design note).  Multi-process:
+            # F_prev spans non-addressable devices and cannot be fetched;
+            # a multihost resume re-derives the one-iteration Ncut lag
+            # (revival is already disabled multi-host for the same reason)
+            extra = {}
+            if jax.process_count() == 1:
+                extra["F_prev"] = np.asarray(
+                    jax.device_get(self.data["F_prev"]))
             if self.revive_duplicates is not None:
                 extra["revive_rng"] = self.revival_rng_state()
+                # revival cadence state: without it, resuming from a
+                # checkpoint step not aligned with the revival period would
+                # shift every later revival vs the uninterrupted run
+                extra["revive_last"] = np.int64(self._last_revive)
             checkpoint.save(
                 self.checkpoint_path, self.params,
                 step=self.anneal.position, rng=self.rng, extra=extra)

@@ -227,3 +227,45 @@ def test_run_scanned_collect_params_matches_python_loop(tmp_path):
         np.testing.assert_allclose(np.asarray(f2["pi"]),
                                    np.asarray(f1["pi"]), rtol=1e-6)
         assert f2["F_mean"].shape[0] == 12
+
+
+def test_resume_revival_cadence_misaligned(tmp_path):
+    """A checkpoint step NOT aligned with the revival period must not shift
+    later revivals: the last-fired iteration rides in the checkpoint
+    (extra['revive_last'], review r2)."""
+    model, data = _fixture()
+    steps = 20
+    ckpt = str(tmp_path / "c.h5")
+    revive = (6, 0.50, 1.0)        # fires at 6, 12, 18
+    cut = 8                        # checkpoint at 8 — between firings
+
+    em1 = EM(model, _anneal(steps), dict(data), seed=5,
+             revive_duplicates=revive)
+    params1 = em1.run()
+
+    em2 = EM(model, _anneal(steps), dict(data), seed=5,
+             checkpoint_path=ckpt, checkpoint_every=cut,
+             revive_duplicates=revive)
+    for _ in range(cut):
+        em2.step_once()
+    del em2
+
+    params_r, step, rng, extra = checkpoint.restore_full(ckpt)
+    assert step == cut
+    assert int(extra["revive_last"]) == 6     # last firing before the cut
+
+    anneal3 = _anneal(steps)
+    anneal3.reset(step)
+    data3 = dict(data, F_prev=extra["F_prev"],
+                 valid=np.ones(extra["F_prev"].shape[0], np.float32))
+    em3 = EM(model, anneal3, data3, params=params_r, seed=999,
+             revive_duplicates=revive)
+    em3.rng = rng
+    em3.restore_revival_rng(extra["revive_rng"])
+    em3._last_revive = int(extra["revive_last"])
+    params3 = em3.run()
+
+    for k in params1:
+        np.testing.assert_allclose(np.asarray(params3[k]),
+                                   np.asarray(params1[k]),
+                                   rtol=1e-6, atol=1e-6, err_msg=k)
