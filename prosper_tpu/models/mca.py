@@ -33,13 +33,18 @@ class MCA(ETModel):
     #: |W|-ranked winner (MMCA) vs plain value max (MCA)
     magnitude: bool = False
 
-    def __init__(self, D, H, Hprime, gamma, to_learn=None, chunk=2048):
+    def __init__(self, D, H, Hprime, gamma, to_learn=None, chunk=2048,
+                 ncut_current: bool = False):
         # chunk bounds the (chunk, S, D) winner tile; 2048 keeps it tens of
         # MB at bars/patches-like configs while amortising per-chunk
         # overheads (the old 256 default left 2-3x throughput on the table)
         super().__init__(D, H, Hprime, gamma, to_learn, chunk)
         self.space = states_mod.binary_state_space(Hprime, gamma)
         self.sa = state_arrays_from(self.space)
+        #: reference-parity Ncut semantics (same contract as the linear
+        #: family): rank the cut by the CURRENT iteration's F via a second
+        #: E-step pass while the cut is active
+        self.ncut_current = bool(ncut_current)
 
     # -- prior helpers --------------------------------------------------------
 
@@ -58,15 +63,36 @@ class MCA(ETModel):
         rng_noise, rng_partial = jax.random.split(rng)
         params = self.noisify(params, sched, rng_noise)
 
-        weight, logA, logB, N_total = self.et_weight_mask(
-            jnp.log(params["pi"]), data, sched, rng_partial, axis_name)
-
         sigma2 = params["sigma"] ** 2
-        F, sums = max_et_estep(
-            y, weight, params["W"], sigma2, self._log_odds(params), self.sa,
-            self.Hprime, self.magnitude, sched["beta"], sched["prior_beta"],
-            self.chunk, rho=sched["rho"], state_axis=state_axis,
-            n_state_shards=n_state_shards)
+
+        def estep(weight):
+            return max_et_estep(
+                y, weight, params["W"], sigma2, self._log_odds(params),
+                self.sa, self.Hprime, self.magnitude, sched["beta"],
+                sched["prior_beta"], self.chunk, rho=sched["rho"],
+                state_axis=state_axis, n_state_shards=n_state_shards)
+
+        if not self.ncut_current:
+            weight, logA, logB, N_total = self.et_weight_mask(
+                jnp.log(params["pi"]), data, sched, rng_partial, axis_name)
+            F, sums = estep(weight)
+        else:
+            # reference-parity mode (SURVEY.md §3.1): rank the cut by the
+            # CURRENT iteration's F — second pass while the cut is active
+            from prosper_tpu.core.etstep import truncated_prior_logmass
+            pmask = self.partial_mask(data, sched, rng_partial, axis_name)
+            logA, logB = truncated_prior_logmass(
+                jnp.log(params["pi"]), self.H, self.gamma)
+            N_total = maybe_psum(jnp.sum(valid), axis_name)
+            F, sums = estep(pmask)
+
+            def recut(_):
+                w = self.ncut_weight(pmask, F, sched, logA, N_total,
+                                     axis_name)
+                return estep(w)[1]
+
+            sums = jax.lax.cond(sched["Ncut_factor"] > 0, recut,
+                                lambda _: sums, None)
         sums = jax.tree_util.tree_map(lambda a: maybe_psum(a, axis_name), sums)
         if state_axis is not None and n_state_shards > 1:
             sums = jax.tree_util.tree_map(

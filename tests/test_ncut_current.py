@@ -77,3 +77,45 @@ def test_ncut_current_bars_recovery():
     n_rec = count_recovered_bars(np.asarray(params["W"]),
                                  np.asarray(gt["W"]), threshold=0.85)
     assert n_rec == H, f"recovered only {n_rec}/{H} bars with ncut_current"
+
+
+def test_ncut_current_max_and_gsc_families():
+    """Round 2: the same defining property holds for MCA and GSC (the
+    deviation's 'GSC/MCA/MMCA keep the lagged default' carve-out closed —
+    ncut_current is now a per-model option for every ET family)."""
+    from prosper_tpu.models.gsc import GSC
+    from prosper_tpu.models.mca import MCA
+
+    rng = jax.random.PRNGKey(3)
+    for make, seed in (
+            (lambda nc: MCA(16, 8, 5, 3, chunk=256, ncut_current=nc), 1),
+            (lambda nc: GSC(16, 8, 5, 3, chunk=256, ncut_current=nc), 2)):
+        m_cur, m_lag = make(True), make(False)
+        gt = (bars_gt_params(m_cur, intensity=10.0, sigma=1.0)
+              if isinstance(m_cur, MCA) else
+              {"W": np.random.default_rng(seed).standard_normal(
+                  (16, 8)).astype(np.float32) * 3.0,
+               "pi": np.float32(0.2), "sigma": np.float32(0.5),
+               "mu": np.float32(1.0), "psi": np.float32(0.5)})
+        data_np = m_cur.generate_data(gt, 256, seed=seed)
+        data = make_blank_data(data_np["y"])
+        params = m_cur.standard_init(data_np, seed=seed + 1)
+
+        _, F_cur, _ = m_lag.jit_step()(params, data, _sched(0.0), rng)
+        p_cur, F1, s_cur = m_cur.jit_step()(params, data, _sched(1.0), rng)
+        data_oracle = dict(data, F_prev=F_cur)
+        p_lag, F2, s_lag = m_lag.jit_step()(params, data_oracle,
+                                            _sched(1.0), rng)
+
+        name = type(m_cur).__name__
+        assert float(s_cur["n_used"]) == float(s_lag["n_used"]), name
+        for k in p_cur:
+            np.testing.assert_allclose(
+                np.asarray(p_cur[k]), np.asarray(p_lag[k]),
+                rtol=1e-5, atol=1e-5, err_msg=f"{name}:{k}")
+        np.testing.assert_array_equal(np.asarray(F1), np.asarray(F2),
+                                      err_msg=name)
+        # fresh-start pathology avoided only in current mode
+        _, _, s_fresh = m_lag.jit_step()(params, data, _sched(1.0), rng)
+        assert float(s_fresh["n_used"]) == 256, name
+        assert float(s_cur["n_used"]) < 256, name
