@@ -167,8 +167,12 @@ def cmd_train(args) -> int:
         anneal.reset(step)
         # drop log rows for iterations between the checkpoint and the crash:
         # append mode would otherwise duplicate them, breaking
-        # resume_from_h5's row-index == iteration assumption (ADVICE r1)
-        _truncate_logs(out_dir, step, log_params_every)
+        # resume_from_h5's row-index == iteration assumption (ADVICE r1).
+        # Rank-0 only — the log files are rank-0-owned, and concurrent
+        # truncation from every process would corrupt them (review r2)
+        import jax
+        if jax.process_index() == 0:
+            _truncate_logs(out_dir, step, log_params_every)
         print(f"[train] resuming from {ckpt_path} at step {step}")
 
     dlog = DataLog()
@@ -201,11 +205,18 @@ def cmd_train(args) -> int:
     # compare against the PADDED length — the checkpoint stores F_prev at
     # the padded training shape, which exceeds the raw dataset length
     # whenever static-shape padding occurred (review r2)
-    if ("F_prev" in ckpt_extra
-            and ckpt_extra["F_prev"].shape[0] <= padded["y"].shape[0]):
-        fp = np.zeros((padded["y"].shape[0],), np.float32)
-        fp[:ckpt_extra["F_prev"].shape[0]] = ckpt_extra["F_prev"]
-        padded["F_prev"] = fp
+    if "F_prev" in ckpt_extra:
+        if ckpt_extra["F_prev"].shape[0] <= padded["y"].shape[0]:
+            fp = np.zeros((padded["y"].shape[0],), np.float32)
+            fp[:ckpt_extra["F_prev"].shape[0]] = ckpt_extra["F_prev"]
+            padded["F_prev"] = fp
+        else:
+            # e.g. resume with a different --mesh shard count: the padded
+            # shape changed, so the trajectory-exact contract cannot hold
+            print("[train] warning: checkpointed F_prev shape "
+                  f"{ckpt_extra['F_prev'].shape[0]} exceeds the padded "
+                  f"dataset {padded['y'].shape[0]} (mesh/chunk changed?); "
+                  "Ncut ranking restarts from scratch this iteration")
     data = padded
 
     em = EM(model, anneal, data, params=params,

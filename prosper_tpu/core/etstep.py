@@ -82,6 +82,32 @@ def traced_state_arrays(slot_onehot, value_counts, abs_states,
     )
 
 
+def slice_state_shard(state_axis, n_state_shards: int, arrays):
+    """This device's slice of state-indexed arrays under state sharding.
+
+    Shared by all three ET E-step cores (SURVEY §5.7): pads each array's
+    leading S axis to a multiple of ``n_state_shards``, takes the
+    contiguous per-shard slice at this device's ``axis_index``, and
+    returns ``(sliced_list, svalid, own_zs)`` where ``svalid`` masks the
+    padding states (logits -> -inf) and ``own_zs`` is 1.0 only on
+    state-rank 0 (zero/singleton-state and per-datapoint-scalar owner —
+    the caller psums sums over the state axis, so those must count once).
+    """
+    S = arrays[0].shape[0]
+    S_pad = -(-S // n_state_shards) * n_state_shards
+    S_loc = S_pad // n_state_shards
+    pad = S_pad - S
+    srank = jax.lax.axis_index(state_axis)
+
+    def sl(a):
+        a_p = jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+        return jax.lax.dynamic_slice_in_dim(a_p, srank * S_loc, S_loc, 0)
+
+    svalid = sl(jnp.ones((S,), jnp.float32))
+    own_zs = (srank == 0).astype(jnp.float32)
+    return [sl(a) for a in arrays], svalid, own_zs
+
+
 def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArrays,
                   Hp: int, signed_select: bool, beta, prior_beta,
                   state_axis=None, n_state_shards: int = 1,
@@ -143,22 +169,14 @@ def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArr
 
     # ---- local slice of the enumerated states -------------------------------
     if state_axis is not None and n_state_shards > 1:
-        S_pad = -(-S // n_state_shards) * n_state_shards
-        S_loc = S_pad // n_state_shards
-        pad = S_pad - S
-        states_p = jnp.pad(sa.states, ((0, pad), (0, 0)))
-        outer_p = jnp.pad(sa.outer, ((0, pad), (0, 0)))
-        vcount_p = jnp.pad(sa.value_counts, ((0, pad), (0, 0)))
-        absst_p = jnp.pad(sa.abs_states, (0, pad))
-        svalid_p = jnp.pad(jnp.ones((S,), f32), (0, pad))
-        srank = jax.lax.axis_index(state_axis)
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, srank * S_loc, S_loc, 0)
-        states, outer, vcounts, absst, svalid = (
-            sl(states_p), sl(outer_p), sl(vcount_p), sl(absst_p), sl(svalid_p))
+        to_slice = [sa.states, sa.outer, sa.value_counts, sa.abs_states]
         if collect_phi:
-            slot_onehot = sl(jnp.pad(jnp.asarray(slot_onehot),
-                                     ((0, pad), (0, 0), (0, 0))))
-        own_zs = (srank == 0).astype(f32)      # zero/singleton owner
+            to_slice.append(jnp.asarray(slot_onehot))
+        sliced, svalid, own_zs = slice_state_shard(
+            state_axis, n_state_shards, to_slice)
+        states, outer, vcounts, absst = sliced[:4]
+        if collect_phi:
+            slot_onehot = sliced[4]
     else:
         states, outer, vcounts, absst = (sa.states, sa.outer,
                                          sa.value_counts, sa.abs_states)

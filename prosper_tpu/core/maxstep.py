@@ -169,18 +169,10 @@ def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
     # combine; the subset-lattice DP needs the GLOBAL lattice, so sharded
     # shards use the per-state fori formulation on their slice)
     if state_axis is not None and n_state_shards > 1:
-        S_pad = -(-S // n_state_shards) * n_state_shards
-        S_loc = S_pad // n_state_shards
-        pad = S_pad - S
-        states_p = jnp.pad(sa.states, ((0, pad), (0, 0)))
-        absst_p = jnp.pad(sa.abs_states, (0, pad))
-        svalid_p = jnp.pad(jnp.ones((S,), f32), (0, pad))
-        srank = jax.lax.axis_index(state_axis)
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, srank * S_loc,
-                                                    S_loc, 0)
-        states_l, absst, svalid = sl(states_p), sl(absst_p), sl(svalid_p)
-        own_zs = (srank == 0).astype(f32)
-        S = S_loc
+        from prosper_tpu.core.etstep import slice_state_shard
+        (states_l, absst), svalid, own_zs = slice_state_shard(
+            state_axis, n_state_shards, [sa.states, sa.abs_states])
+        S = states_l.shape[0]
         dp_winner = False
     else:
         states_l, absst = sa.states, sa.abs_states

@@ -406,13 +406,19 @@ class EM:
             # sit BELOW the median norm (the M-step rescales them down) but
             # their support is ~2x the planted atom's — support size is the
             # razor-sharp statistic (median 8 / p90 8 / blends 13-15), so
-            # the candidate pool uses split_norm_frac x median SUPPORT
-            absW = np.abs(W)
-            sup_sizes = (absW > 0.25 * absW.max(axis=0, keepdims=True)
-                         ).sum(axis=0)
-            med_sup = max(float(np.median(sup_sizes)), 1.0)
+            # the candidate pool uses split_norm_frac x median SUPPORT.
+            # The statistic is the diagnosis module's (the offline
+            # calibration source for this detector); a norm floor excludes
+            # near-dead noise columns, whose relative support is wide but
+            # which carry no blend (review r2)
+            from prosper_tpu.data.diagnosis import dictionary_stats
+            st = dictionary_stats(W)
+            sup_sizes = st["support"]
+            med_sup = max(float(st["median_support"]), 1.0)
+            norm_floor = 0.3 * st["median_norm"]
             split_pool = [int(h) for h in np.argsort(-sup_sizes)
-                          if sup_sizes[h] >= split_norm_frac * med_sup]
+                          if sup_sizes[h] >= split_norm_frac * med_sup
+                          and norms[h] >= norm_floor]
         else:
             # symmetric-split heuristic (round 1): norm far above median —
             # a fused pair of atoms carries ~sqrt(2)x the energy

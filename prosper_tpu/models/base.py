@@ -167,6 +167,40 @@ class ETModel:
         thresh = global_quantile_threshold(F_rank, pmask, keep, axis_name)
         return pmask * (F_rank >= thresh).astype(jnp.float32)
 
+    def run_estep_with_ncut(self, estep, log_pi_active, data, sched,
+                            rng_partial, axis_name):
+        """Shared E-step orchestration for both Ncut semantics.
+
+        ``estep(weight) -> (F, sums)`` is the family's fused E-step.
+        Default (lagged) mode ranks the cut by the previous iteration's F
+        (one pass); ``self.ncut_current`` ranks by the CURRENT iteration's
+        F (reference semantics, SURVEY.md §3.1) with a second pass inside
+        a lax.cond that is skipped while Ncut_factor == 0.  Returns
+        (F, sums, logA, logB, N_total).
+        """
+        from prosper_tpu.core.etstep import truncated_prior_logmass
+        from prosper_tpu.parallel.mesh import maybe_psum
+
+        if not getattr(self, "ncut_current", False):
+            weight, logA, logB, N_total = self.et_weight_mask(
+                log_pi_active, data, sched, rng_partial, axis_name)
+            F, sums = estep(weight)
+            return F, sums, logA, logB, N_total
+
+        pmask = self.partial_mask(data, sched, rng_partial, axis_name)
+        logA, logB = truncated_prior_logmass(log_pi_active, self.H,
+                                             self.gamma)
+        N_total = maybe_psum(jnp.sum(data["valid"]), axis_name)
+        F, sums = estep(pmask)
+
+        def recut(_):
+            w = self.ncut_weight(pmask, F, sched, logA, N_total, axis_name)
+            return estep(w)[1]
+
+        sums = jax.lax.cond(sched["Ncut_factor"] > 0, recut,
+                            lambda _: sums, None)
+        return F, sums, logA, logB, N_total
+
     def et_weight_mask(self, log_pi_active, data, sched, rng_partial,
                        axis_name):
         """Combined partial-subsampling + Ncut mask (static shapes).

@@ -125,34 +125,11 @@ class LinearETModel(ETModel):
                 compute_dtype=self.compute_dtype,
                 collect_phi=self.learn_phi, slot_onehot=self._slot_onehot)
 
-        if not self.ncut_current:
-            # default one-pass design: the previous iteration's F ranks the
-            # Ncut (one-iteration lag; see models/base.py docs)
-            weight, logA, logB, N_total = self.et_weight_mask(
-                self.log_pi_active(params), data, sched, rng_partial,
-                axis_name)
-            F, sums = estep(weight)
-        else:
-            # reference-parity mode (SURVEY.md §3.1 select_partial_data):
-            # rank the cut by the CURRENT iteration's free energies.  The
-            # reference gets this free by materialising all (N, S)
-            # log-joints; the streaming TPU E-step instead runs twice when
-            # the cut is active (pass 1 ranks, pass 2 accumulates) — the
-            # lax.cond skips pass 2 entirely while Ncut_factor == 0.
-            from prosper_tpu.core.etstep import truncated_prior_logmass
-            pmask = self.partial_mask(data, sched, rng_partial, axis_name)
-            logA, logB = truncated_prior_logmass(
-                self.log_pi_active(params), self.H, self.gamma)
-            N_total = maybe_psum(jnp.sum(valid), axis_name)
-            F, sums = estep(pmask)
-
-            def recut(_):
-                w = self.ncut_weight(pmask, F, sched, logA, N_total,
-                                     axis_name)
-                return estep(w)[1]
-
-            sums = jax.lax.cond(sched["Ncut_factor"] > 0, recut,
-                                lambda _: sums, None)
+        # one-pass (lagged) vs reference-semantics (current-F) Ncut — the
+        # shared base-class orchestration (models/base.py)
+        F, sums, logA, logB, N_total = self.run_estep_with_ncut(
+            estep, self.log_pi_active(params), data, sched, rng_partial,
+            axis_name)
         sums = jax.tree_util.tree_map(lambda a: maybe_psum(a, axis_name), sums)
         if state_axis is not None and n_state_shards > 1:
             sums = jax.tree_util.tree_map(

@@ -72,27 +72,9 @@ class MCA(ETModel):
                 sched["prior_beta"], self.chunk, rho=sched["rho"],
                 state_axis=state_axis, n_state_shards=n_state_shards)
 
-        if not self.ncut_current:
-            weight, logA, logB, N_total = self.et_weight_mask(
-                jnp.log(params["pi"]), data, sched, rng_partial, axis_name)
-            F, sums = estep(weight)
-        else:
-            # reference-parity mode (SURVEY.md §3.1): rank the cut by the
-            # CURRENT iteration's F — second pass while the cut is active
-            from prosper_tpu.core.etstep import truncated_prior_logmass
-            pmask = self.partial_mask(data, sched, rng_partial, axis_name)
-            logA, logB = truncated_prior_logmass(
-                jnp.log(params["pi"]), self.H, self.gamma)
-            N_total = maybe_psum(jnp.sum(valid), axis_name)
-            F, sums = estep(pmask)
-
-            def recut(_):
-                w = self.ncut_weight(pmask, F, sched, logA, N_total,
-                                     axis_name)
-                return estep(w)[1]
-
-            sums = jax.lax.cond(sched["Ncut_factor"] > 0, recut,
-                                lambda _: sums, None)
+        F, sums, logA, logB, N_total = self.run_estep_with_ncut(
+            estep, jnp.log(params["pi"]), data, sched, rng_partial,
+            axis_name)
         sums = jax.tree_util.tree_map(lambda a: maybe_psum(a, axis_name), sums)
         if state_axis is not None and n_state_shards > 1:
             sums = jax.tree_util.tree_map(
