@@ -132,12 +132,18 @@ class ETModel:
 
     # -- shared jitted-decoder cache (the serving path) -----------------------
 
-    def _cached_infer(self, key, builder, y, params, beta, prior_beta):
+    def _cached_infer(self, key, builder, y, params, beta, prior_beta,
+                      runtime=None):
         """jit the posterior decoder once per (family, top_L, chunk) — a
-        fresh lambda per call would recompile on every serve request."""
+        fresh lambda per call would recompile on every serve request.
+        With a MeshRuntime the decode is shard_map'd over the data axis
+        (data-parallel serving; decode is per-datapoint independent)."""
         cache = self.__dict__.setdefault("_infer_cache", {})
+        if runtime is not None:
+            key = key + ("mesh", id(runtime))
         if key not in cache:
-            cache[key] = jax.jit(builder)
+            cache[key] = (runtime.shard_decode(builder) if runtime is not None
+                          else jax.jit(builder))
         return cache[key](y, params, beta, prior_beta)
 
     # -- shared ET data-selection masks ---------------------------------------

@@ -108,7 +108,8 @@ class GSC(ETModel):
         }
         return new, F, scalars
 
-    def inference(self, params, data, top_L: int = 10, anneal=None):
+    def inference(self, params, data, top_L: int = 10, anneal=None,
+                  runtime=None):
         """Posterior decode (reference: CAModel.inference)."""
         from prosper_tpu.core.gscstep import gsc_posterior
         from prosper_tpu.models.base import sched_from_anneal
@@ -121,7 +122,7 @@ class GSC(ETModel):
             lambda y_, p, b, pb: gsc_posterior(
                 y_, p["W"], p["sigma"] ** 2, p["pi"], p["mu"], p["psi"],
                 self.sa, self.Hprime, top_L, b, pb, chunk=self.chunk),
-            y, params, beta, prior_beta)
+            y, params, beta, prior_beta, runtime=runtime)
 
     # -- generation -----------------------------------------------------------
 

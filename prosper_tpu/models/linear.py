@@ -182,9 +182,12 @@ class LinearETModel(ETModel):
 
     # -- posterior decode (reference: CAModel.inference, SURVEY.md §3.3) ------
 
-    def inference(self, params, data, top_L: int = 10, anneal=None):
+    def inference(self, params, data, top_L: int = 10, anneal=None,
+                  runtime=None):
         """Posterior decode on held-out data: top states, probabilities,
-        posterior mean and reconstruction (the serving path)."""
+        posterior mean and reconstruction (the serving path).  ``runtime``
+        shards the decode over the mesh data axis (data-parallel
+        serving)."""
         from prosper_tpu.core.etstep import linear_et_posterior
         from prosper_tpu.models.base import sched_from_anneal
         sched = sched_from_anneal(anneal) if anneal is not None else None
@@ -197,7 +200,7 @@ class LinearETModel(ETModel):
                 y_, p["W"], p["sigma"] ** 2, self.log_odds(p),
                 self._sa_for(p), self.Hprime, self.signed_select, top_L, b,
                 pb, chunk=self.chunk),
-            y, params, beta, prior_beta)
+            y, params, beta, prior_beta, runtime=runtime)
 
 
 class BSC(LinearETModel):

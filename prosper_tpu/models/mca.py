@@ -125,7 +125,8 @@ class MCA(ETModel):
         return ybar
 
 
-    def inference(self, params, data, top_L: int = 10, anneal=None):
+    def inference(self, params, data, top_L: int = 10, anneal=None,
+                  runtime=None):
         """Posterior decode (reference: CAModel.inference)."""
         from prosper_tpu.core.maxstep import max_et_posterior
         from prosper_tpu.models.base import sched_from_anneal
@@ -139,7 +140,7 @@ class MCA(ETModel):
                 y_, p["W"], p["sigma"] ** 2, self._log_odds(p), self.sa,
                 self.Hprime, self.magnitude, top_L, b, pb,
                 chunk=self.chunk),
-            y, params, beta, prior_beta)
+            y, params, beta, prior_beta, runtime=runtime)
 
 
 class MMCA(MCA):

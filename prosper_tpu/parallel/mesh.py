@@ -185,6 +185,19 @@ class MeshRuntime:
         sh = self.replicated_sharding()
         return jax.tree_util.tree_map(lambda a: self._put(a, sh), tree)
 
+    def shard_decode(self, infer_fn):
+        """Data-parallel serving: wrap a posterior-decode builder
+        ``infer_fn(y, params, beta, prior_beta) -> dict`` in shard_map over
+        the data axis and jit it.  Decode is embarrassingly parallel per
+        datapoint (SURVEY.md §3.3), so outputs shard like the input rows;
+        params/scalars are replicated.  N must divide the data-shard count
+        (pad upstream with the loaders' static-shape padding)."""
+        mapped = jax.shard_map(
+            infer_fn, mesh=self.mesh,
+            in_specs=(P(self.data_axis), P(), P(), P()),
+            out_specs=P(self.data_axis), check_vma=False)
+        return jax.jit(mapped)
+
     def shard_step(self, step_fn):
         """Wrap ``step_fn(params, data, sched, rng) -> (params, F, scalars)``
         in shard_map over the data axis (plus the state axis when the mesh

@@ -160,3 +160,29 @@ def test_infer_cache_is_per_instance_and_reused():
     assert out1["top_states"].shape == (64, 5, m1.H)
     np.testing.assert_allclose(np.asarray(out1["top_probs"]),
                                np.asarray(out1b["top_probs"]))
+
+
+def test_inference_sharded_over_mesh_matches_single_device():
+    """Data-parallel serving (round 2): model.inference(..., runtime=rt)
+    shard_maps the decode over the mesh data axis; outputs must match the
+    single-device decode exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from prosper_tpu.models.linear import BSC
+    from prosper_tpu.parallel.mesh import MeshRuntime
+
+    model = BSC(D=16, H=8, Hprime=5, gamma=3, chunk=32)
+    gt = bars_gt_params(model, intensity=10.0, sigma=1.0)
+    data = model.generate_data(gt, 256, seed=6)
+    params = model.standard_init(data, seed=7)
+
+    out1 = model.inference(params, {"y": data["y"]}, top_L=4)
+
+    rt = MeshRuntime(devices=jax.devices()[:8])
+    y_sh = rt.shard_data({"y": jnp.asarray(data["y"], jnp.float32)})["y"]
+    out2 = model.inference(params, {"y": y_sh}, top_L=4, runtime=rt)
+
+    for k in out1:
+        np.testing.assert_allclose(np.asarray(out1[k]), np.asarray(out2[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
