@@ -85,6 +85,9 @@ def top_l_argmax(q: jnp.ndarray, L: int):
     Returns (top_q (N,L), top_u (N,L) int32).
     """
     N, M = q.shape
+    if L > M:
+        raise ValueError(f"top_L={L} exceeds the {M} posterior columns "
+                         "(lax.top_k semantics: k must be <= dimension)")
     iota = jax.lax.broadcasted_iota(jnp.int32, (N, M), 1)
     vals, idxs = [], []
     s = q

@@ -186,6 +186,13 @@ class EM:
         #: symmetric split guessed the partition; this one reads it off the
         #: data.  Falls back to re-seeding when no two-group structure exists
         self.split_coact = bool(split_coact)
+        if self.split_coact and self.split_norm_frac <= 0.0:
+            # split_coact without a pool threshold would be a silent no-op
+            # (the pool gate runs first); default to the calibrated
+            # support-size factor (ROUND2.md: blends at ~1.6-1.9x median
+            # support, detector threshold 1.5) so `split_coact=True` alone
+            # enables the documented behavior (review r2)
+            self.split_norm_frac = 1.5
         self._coact_sample = None
         #: observability: how often each revival action fired this run
         self.revival_stats = {"revived": 0, "coact_split": 0,
@@ -507,7 +514,10 @@ class EM:
             if rows is None:
                 valid = np.asarray(jax.device_get(self.data["valid"]))
                 rows = self._revive_valid_rows = np.flatnonzero(valid > 0)
-            take = rows[:: max(1, rows.size // 65536)][:65536]
+            # ceil-stride so the subsample spans the WHOLE dataset (a
+            # floor stride kept only a prefix for 65k < n < 131k rows,
+            # biasing the blend-split covariance — review r2)
+            take = rows[:: max(1, -(-rows.size // 65536))][:65536]
             self._coact_sample = np.asarray(
                 jax.device_get(self.data["y"][jnp.asarray(take)]),
                 np.float64)

@@ -142,9 +142,13 @@ class ETModel:
         if runtime is not None:
             key = key + ("mesh", id(runtime))
         if key not in cache:
-            cache[key] = (runtime.shard_decode(builder) if runtime is not None
-                          else jax.jit(builder))
-        return cache[key](y, params, beta, prior_beta)
+            # the runtime rides along in the cache entry so its id cannot
+            # be recycled onto a different MeshRuntime while the compiled
+            # decoder is still cached (review r2)
+            cache[key] = ((runtime.shard_decode(builder), runtime)
+                          if runtime is not None
+                          else (jax.jit(builder), None))
+        return cache[key][0](y, params, beta, prior_beta)
 
     # -- shared ET data-selection masks ---------------------------------------
 

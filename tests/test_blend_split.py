@@ -90,3 +90,19 @@ def test_em_blend_split_end_to_end():
     n_rec = count_recovered_bars(np.asarray(params["W"]), gtW,
                                  threshold=0.85)
     assert n_rec == H, f"recovered only {n_rec}/{H} bars after blend split"
+
+
+def test_split_coact_alone_defaults_pool_threshold():
+    """split_coact=True without split_norm_frac must not be a silent no-op
+    (review r2): the calibrated support-factor default kicks in."""
+    model = BSC(16, 8, 5, 3)
+    gt = bars_gt_params(model, intensity=10.0, sigma=1.0)
+    data = model.generate_data(gt, 200, seed=1)
+    em = EM(model, LinearAnnealing(2), {"y": data["y"]}, seed=0,
+            revive_duplicates=(1, 0.9), split_coact=True)
+    assert em.split_norm_frac == 1.5
+    # explicit value is respected
+    em2 = EM(model, LinearAnnealing(2), {"y": data["y"]}, seed=0,
+             revive_duplicates=(1, 0.9), split_coact=True,
+             split_norm_frac=2.0)
+    assert em2.split_norm_frac == 2.0
