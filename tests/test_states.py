@@ -46,3 +46,54 @@ def test_validation():
         discrete_state_space(4, 5, values=[1.0])  # gamma > Hp
     with pytest.raises(ValueError):
         discrete_state_space(4, 2, values=[0.0, 1.0])  # zero in values
+
+
+def test_gsc_level_plan_covers_all_states():
+    """The level plan partitions the state axis into contiguous size-m
+    groups with valid active-slot indices (core/gscstep.py)."""
+    import numpy as np
+
+    from prosper_tpu.core import states as states_mod
+    from prosper_tpu.core.gscstep import _gsc_level_plan
+
+    for Hp, gamma in ((5, 3), (6, 4), (8, 4)):
+        space = states_mod.binary_state_space(Hp, gamma)
+        act = np.asarray(space.states) > 0.5
+        plan = _gsc_level_plan(act)
+        total = 0
+        for off, idx in plan:
+            S_m, m = idx.shape
+            assert off == total
+            total += S_m
+            for j in range(S_m):
+                np.testing.assert_array_equal(
+                    np.flatnonzero(act[off + j]), idx[j])
+        assert total == act.shape[0]
+
+
+def test_subset_dp_plan_parents_drop_largest_slot():
+    """Every DP-plan child extends its parent by exactly its largest
+    active slot (core/maxstep.py)."""
+    import numpy as np
+
+    from prosper_tpu.core import states as states_mod
+    from prosper_tpu.core.maxstep import _subset_dp_plan
+
+    space = states_mod.binary_state_space(7, 4)
+    act = np.asarray(space.states) > 0.5
+    plan = _subset_dp_plan(np.asarray(space.states))
+    sizes = act.sum(axis=1)
+    off = 0
+    prev_rows = None
+    for level, (parent_pos, add_slot) in enumerate(plan, start=2):
+        rows = np.flatnonzero(sizes == level)
+        for j, r in enumerate(rows):
+            sup = np.flatnonzero(act[r])
+            assert add_slot[j] == sup[-1]
+            if level == 2:
+                assert parent_pos[j] == sup[0]
+            else:
+                parent_sup = np.flatnonzero(act[prev_rows[parent_pos[j]]])
+                np.testing.assert_array_equal(parent_sup, sup[:-1])
+        prev_rows = rows
+        off += rows.size
