@@ -24,7 +24,7 @@ SURVEY.md provenance warning; citations are to SURVEY.md section/row):
   - DataLog/AutoTable    -> SURVEY.md §2 datalog/autotable rows
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from prosper_tpu.engine.anneal import LinearAnnealing
 from prosper_tpu.engine.em import EM, run_restarts
