@@ -322,6 +322,14 @@ def cmd_diagnose(args) -> int:
         st = dictionary_stats(W, support_frac=args.support_frac)
         dead = np.flatnonzero(st["norms"] < 0.1 * st["median_norm"])
         wide = np.flatnonzero(st["support"] >= 1.5 * st["median_support"])
+        if args.json:
+            print(json.dumps({
+                "step": step, "columns": int(W.shape[1]),
+                "median_norm": st["median_norm"],
+                "median_support": st["median_support"],
+                "max_coherence": st["max_coherence"],
+                "dead": dead.tolist(), "wide_support": wide.tolist()}))
+            return 0
         print(f"[diagnose] {W.shape[1]} columns (step {step}): "
               f"median norm {st['median_norm']:.3g}, median support "
               f"{st['median_support']:.0f}, max coherence "
@@ -333,6 +341,19 @@ def cmd_diagnose(args) -> int:
         rep = diagnose_recovery(W, gt_W, threshold=args.threshold,
                                 signed=args.signed,
                                 support_frac=args.support_frac)
+        if args.json:
+            print(json.dumps({
+                "step": step,
+                "recovered": int(rep["recovered"].size),
+                "total": int(rep["cosines"].size),
+                "missed_classes": {str(k): v for k, v
+                                   in rep["missed_classes"].items()},
+                "blends": {str(c): [int(v[0]), int(v[1]), v[2], v[3]]
+                           for c, v in rep["blends"].items()},
+                "duplicates": [[int(i), int(j), c]
+                               for i, j, c in rep["duplicates"]],
+                "dead": rep["dead"]}))
+            return 0
         print(f"[diagnose] step {step}")
         print(format_report(rep))
     return 0
@@ -385,6 +406,8 @@ def main(argv=None) -> int:
     pd.add_argument("--signed", action="store_true",
                     help="match columns by |cosine| (TSC/MMCA-style)")
     pd.add_argument("--support-frac", type=float, default=0.25)
+    pd.add_argument("--json", action="store_true",
+                    help="machine-readable report on stdout")
     pd.set_defaults(fn=cmd_diagnose)
 
     args = p.parse_args(argv)

@@ -170,3 +170,17 @@ def test_cli_diagnose(tiny_config, tmp_path, capsys):
     np.savez(gtz, gtW=np.asarray(load_config(tiny_config)["gt_params"]["W"]))
     assert cli.main(["diagnose", "-c", npz, "--gt", gtz]) == 0
     assert "/8 atoms" in capsys.readouterr().out
+
+
+def test_cli_diagnose_json(tiny_config, tmp_path, capsys):
+    out = str(tmp_path / "run")
+    assert cli.main(["train", tiny_config, "-o", out, "-q"]) == 0
+    ckpt = os.path.join(out, "checkpoint.h5")
+    capsys.readouterr()                      # drain train output
+    assert cli.main(["diagnose", "-c", ckpt, "--json"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert {"columns", "median_support", "dead"} <= rep.keys()
+    assert cli.main(["diagnose", "-c", ckpt, "--gt", tiny_config,
+                     "--json"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["total"] == 8 and 0 <= rep["recovered"] <= 8
