@@ -231,3 +231,16 @@ def test_dp_winner_tile_matches_loop_formulation():
                 np.testing.assert_allclose(
                     np.asarray(s1[k]), np.asarray(s2[k]), rtol=1e-5,
                     atol=1e-5, err_msg=f"{k} magnitude={magnitude} rho={rho}")
+
+
+def test_mca_beats_linear_on_occlusion_data():
+    """The occlusion example's defining claim as a regression test: on
+    max-composed scenes MCA recovers the objects, the linear model blends
+    the occluders (examples/mca_occlusion.py)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from examples.mca_occlusion import main
+
+    rec_mca, rec_bsc = main(N=2048, iters=50)
+    assert rec_mca >= 7
+    assert rec_mca > rec_bsc

@@ -91,3 +91,26 @@ def test_better_dictionary_higher_likelihood(setup):
                          jnp.float32)
     F_rand, _ = _run(y_gen, W_rand, sa, lo, w64, Hp, sigma2=0.25)
     assert float(jnp.mean(F_true)) > float(jnp.mean(F_rand))
+
+
+def test_top_l_argmax_matches_lax_top_k():
+    """The decode-path iterated-argmax top-L (core/select.py) must match
+    lax.top_k exactly on probability-like inputs, including ties."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from prosper_tpu.core.select import top_l_argmax
+
+    rng = np.random.default_rng(0)
+    q = rng.random((64, 37)).astype(np.float32)
+    q[:8, 5] = q[:8, 11]                       # planted ties
+    q = jnp.asarray(q)
+    for L in (1, 4, 37):
+        v1, i1 = jax.lax.top_k(q, L)
+        v2, i2 = top_l_argmax(q, L)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    with pytest.raises(ValueError):
+        top_l_argmax(q, 38)
