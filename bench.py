@@ -139,7 +139,37 @@ def _family_entry(dps, flops=None):
     return e
 
 
+def _relay_alive() -> bool:
+    """Fast liveness probe of this environment's axon loopback relay.
+
+    When the relay daemon dies, ``jax.devices()`` hangs forever (no
+    timeout in the dial path), which would hang the whole bench harness;
+    the daemon's loopback port refuses instantly when it is down, so
+    probe it and fail fast with an explicit JSON line instead.
+    """
+    import os
+    import socket
+    if not os.environ.get("AXON_LOOPBACK_RELAY"):
+        return True            # not this environment's relay — no gating
+    s = socket.socket()
+    s.settimeout(2)
+    try:
+        s.connect(("127.0.0.1", 8082))
+        return True
+    except OSError:
+        return False
+    finally:
+        s.close()
+
+
 def main():
+    if not _relay_alive():
+        print(json.dumps({"error": "tpu_unreachable",
+                          "detail": "axon relay daemon down (loopback "
+                                    "port refused); see ROUND2.md "
+                                    "environment note"}))
+        return 1
+
     import jax
     import jax.numpy as jnp
     from prosper_tpu.models.gsc import GSC
