@@ -80,3 +80,28 @@ def test_resume_from_h5(tmp_path):
     params, step = checkpoint.resume_from_h5(p)
     assert step == 3
     assert float(params["pi"]) == pytest.approx(0.4)
+
+
+def test_bench_relay_guard(monkeypatch):
+    """bench._relay_alive: fail-fast gating is env-scoped (review of the
+    end-of-round relay outage) — inactive outside the axon environment,
+    refuses fast when the loopback relay port is closed."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import bench
+
+    monkeypatch.delenv("AXON_LOOPBACK_RELAY", raising=False)
+    assert bench._relay_alive() is True         # not this environment
+    monkeypatch.setenv("AXON_LOOPBACK_RELAY", "1")
+    # port 8082 closed in the CI/CPU sandbox -> immediate refusal
+    import socket
+    probe = socket.socket()
+    probe.settimeout(0.5)
+    try:
+        probe.connect(("127.0.0.1", 8082))
+        port_open = True
+    except OSError:
+        port_open = False
+    finally:
+        probe.close()
+    assert bench._relay_alive() is port_open
