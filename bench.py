@@ -104,7 +104,7 @@ def linear_flops_per_dp(Dd, Hh, Hhp, S, K=1):
     return necessary + gather, necessary
 
 
-def _measure_step(model, params, N, iters, groups=3):
+def _measure_step(model, params, N, iters, groups=3, data_tf=None):
     """Best-of-groups EM-step throughput with forced host sync."""
     import jax
     from prosper_tpu.engine.anneal import LinearAnnealing
@@ -112,6 +112,8 @@ def _measure_step(model, params, N, iters, groups=3):
 
     rng = np.random.default_rng(1)
     y = rng.standard_normal((N, model.D)).astype(np.float32)
+    if data_tf is not None:
+        y = data_tf(y)
     data = make_blank_data(y)
     sched = sched_from_anneal(LinearAnnealing(10))
     key = jax.random.PRNGKey(0)
@@ -244,18 +246,26 @@ def main():
     run_family("mmca", lambda: MMCA(64, 100, 6, 3, chunk=8192), 262144,
                iters=3)
 
-    # mixtures (MoG at a clustering-scale config) — completes the matrix
-    if want("mog"):
+    # mixtures (clustering-scale configs) — completes the matrix
+    for mix_name in ("mog", "mop"):
+        if not want(mix_name):
+            continue
         try:
-            from prosper_tpu.models.mixtures import MoG
-            model = MoG(D=64, K=32, chunk=65536)
-            params = model.standard_init(
-                {"y": np.random.default_rng(5).standard_normal(
-                    (1024, 64)).astype(np.float32)}, seed=6)
-            families["mog"] = _family_entry(
-                _measure_step(model, params, 524288, 3, groups=2))
+            from prosper_tpu.models.mixtures import MoG, MoP
+            model = (MoG(D=64, K=32, chunk=65536) if mix_name == "mog"
+                     else MoP(D=64, K=32, chunk=65536))
+            y0 = np.random.default_rng(5).standard_normal(
+                (1024, 64)).astype(np.float32)
+            if mix_name == "mop":
+                y0 = np.abs(np.floor(y0 * 3)).astype(np.float32)  # counts
+            params = model.standard_init({"y": y0}, seed=6)
+            tf = ((lambda y: np.abs(np.floor(y * 3)).astype(np.float32))
+                  if mix_name == "mop" else None)
+            families[mix_name] = _family_entry(
+                _measure_step(model, params, 524288, 3, groups=2,
+                              data_tf=tf))
         except Exception as e:                      # noqa: BLE001
-            print(f"[bench] mog failed: {e!r}", file=sys.stderr)
+            print(f"[bench] {mix_name} failed: {e!r}", file=sys.stderr)
 
     # ---- serving decode (model.inference, device-resident input) ------------
     if want("decode"):
