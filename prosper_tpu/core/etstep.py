@@ -391,11 +391,75 @@ def chunked_decode(fn, y: jnp.ndarray, chunk: int) -> Dict[str, jnp.ndarray]:
     return {k: v.reshape((N_pad,) + v.shape[2:])[:N] for k, v in out.items()}
 
 
+def top_states_outputs(q: jnp.ndarray, L: int, H: int, K: int,
+                       values: jnp.ndarray, multi_states: jnp.ndarray,
+                       onehot: jnp.ndarray, dense: bool
+                       ) -> Dict[str, jnp.ndarray]:
+    """Top-L posterior states from the q columns ``[zero | singles | multi]``.
+
+    Shared by the linear/GSC/max decoders.  ``dense=True`` returns full-H
+    vectors ``top_states (N, L, H)`` — measured at ~17 ms/131k extra at the
+    patches config (the (N, L, H) construction is layout-hostile on TPU:
+    the (L=10, H=300) minor-dim tile pads ~2x and the per-datapoint
+    (L,Hp)x(Hp,H) batched GEMMs cannot use the MXU; tools/ablate_decode.py).
+    ``dense=False`` returns the compact form instead (~2.5 ms):
+
+      top_single_unit  (N, L) int32  unit index of singleton states, -1 else
+      top_single_value (N, L)        its value (0 for zero/multi states)
+      top_cand_states  (N, L, Hp)    multi-state values over the candidate
+                                     set (all-zero rows for zero/singleton)
+
+    plus ``top_probs`` in both forms; the caller adds ``cand``.  Use
+    ``densify_top_states`` to reconstruct the dense tensor exactly.
+    """
+    from prosper_tpu.core.select import top_l_argmax
+
+    f32 = jnp.float32
+    N = q.shape[0]
+    S, Hp = multi_states.shape
+    top_q, top_u = top_l_argmax(q, L)
+    u = top_u - 1                                         # -1 -> zero state
+    is_single = (u >= 0) & (u < H * K)
+    sh = jnp.where(is_single, u // K, 0)
+    sv = jnp.where(is_single, values[jnp.clip(u % K, 0, K - 1)], 0.0)
+    s_idx = jnp.clip(u - H * K, 0, S - 1)
+    is_multi = u >= H * K
+    if dense:
+        single_vec = jax.nn.one_hot(sh, H, dtype=f32) * sv[..., None]
+        mcv = multi_states[s_idx] * is_multi[..., None]   # (N, L, Hp)
+        multi_vec = jnp.einsum("nla,nah->nlh", mcv, onehot)
+        return {"top_probs": top_q, "top_states": single_vec + multi_vec}
+    # compact: states gathered by one-hot GEMM (index gathers from the
+    # (S, Hp) table measured ~40% slower, tools/ablate_decode.py)
+    su = jax.nn.one_hot(s_idx, S, dtype=f32) * is_multi[..., None]
+    mcv = jnp.dot(su.reshape(N * L, S), multi_states,
+                  preferred_element_type=f32).reshape(N, L, Hp)
+    return {"top_probs": top_q,
+            "top_single_unit": jnp.where(is_single, sh, -1).astype(jnp.int32),
+            "top_single_value": sv,
+            "top_cand_states": mcv}
+
+
+def densify_top_states(out: Dict[str, jnp.ndarray], H: int) -> jnp.ndarray:
+    """Reconstruct dense ``top_states (N, L, H)`` from a compact decode
+    (``inference(..., dense_states=False)``) — bit-identical to the dense
+    path; run on host/CPU or small batches, not in the serving hot loop."""
+    f32 = jnp.float32
+    unit = out["top_single_unit"]
+    sv = out["top_single_value"]
+    single_vec = (jax.nn.one_hot(jnp.maximum(unit, 0), H, dtype=f32)
+                  * sv[..., None])
+    cand_hot = jax.nn.one_hot(out["cand"], H, dtype=f32)     # (N, Hp, H)
+    multi_vec = jnp.einsum("nla,nah->nlh", out["top_cand_states"], cand_hot)
+    return single_vec + multi_vec
+
+
 def linear_et_posterior(y: jnp.ndarray, W: jnp.ndarray, sigma2,
                         log_odds: jnp.ndarray, sa: LinearStateArrays,
                         Hp: int, signed_select: bool, top_L: int = 10,
                         beta=1.0, prior_beta=1.0,
-                        chunk: int = 4096) -> Dict[str, jnp.ndarray]:
+                        chunk: int = 4096,
+                        dense_states: bool = True) -> Dict[str, jnp.ndarray]:
     """Chunked posterior decode — bounds the decode's intermediates (the
     (N,Hp,H) one-hot alone is >1GB at serving scale); the (H,H) Gram is
     computed once, outside the chunk loop."""
@@ -404,7 +468,7 @@ def linear_et_posterior(y: jnp.ndarray, W: jnp.ndarray, sigma2,
     return chunked_decode(
         lambda y_i: _linear_et_posterior_chunk(
             y_i, W, gram, gram_diag, sigma2, log_odds, sa, Hp, signed_select,
-            top_L, beta, prior_beta), y, chunk)
+            top_L, beta, prior_beta, dense_states), y, chunk)
 
 
 def _linear_et_posterior_chunk(y: jnp.ndarray, W: jnp.ndarray,
@@ -412,7 +476,8 @@ def _linear_et_posterior_chunk(y: jnp.ndarray, W: jnp.ndarray,
                                sigma2, log_odds: jnp.ndarray,
                                sa: LinearStateArrays,
                                Hp: int, signed_select: bool, top_L: int = 10,
-                               beta=1.0, prior_beta=1.0
+                               beta=1.0, prior_beta=1.0,
+                               dense_states: bool = True
                                ) -> Dict[str, jnp.ndarray]:
     """Posterior decode for held-out data (reference: CAModel.inference,
     SURVEY.md §3.3): per datapoint the top-L truncated states sorted by
@@ -421,6 +486,9 @@ def _linear_et_posterior_chunk(y: jnp.ndarray, W: jnp.ndarray,
 
     Returns dict with:
       top_states (N, L, H)  full-H latent vectors of the L best states
+                            (``dense_states=True``; with False the compact
+                            fields from ``top_states_outputs`` + ``cand``
+                            replace it — ~1.7x faster at serving scale)
       top_probs  (N, L)     their posterior probabilities
       s_mean     (N, H)     posterior mean of s
       recon      (N, D)     W @ <s>
@@ -475,24 +543,12 @@ def _linear_et_posterior_chunk(y: jnp.ndarray, W: jnp.ndarray,
     s_mean = (q_single @ v) + jnp.einsum("na,nah->nh", s_cand, onehot)
     recon = jnp.dot(s_mean, W.T, preferred_element_type=f32)
 
-    # top-L states as full-H vectors
-    from prosper_tpu.core.select import top_l_argmax
-    top_q, top_u = top_l_argmax(q, top_L)
-    u = top_u - 1                                                      # -1 -> zero state
-    is_single = (u >= 0) & (u < H * K)
-    sh = jnp.where(is_single, u // K, 0)                               # unit
-    sv = jnp.where(is_single, v[jnp.clip(u % K, 0, K - 1)], 0.0)
-    single_vec = jax.nn.one_hot(sh, H, dtype=f32) * sv[..., None]
-    single_vec = single_vec * is_single[..., None]
-
-    s_idx = jnp.clip(u - H * K, 0, S - 1)
-    is_multi = u >= H * K
-    multi_cand_vals = (sa.states[s_idx] * is_multi[..., None])         # (N,L,Hp)
-    multi_vec = jnp.einsum("nla,nah->nlh", multi_cand_vals, onehot)
-    top_states = single_vec + multi_vec
-
-    return {"top_states": top_states, "top_probs": top_q,
-            "s_mean": s_mean, "recon": recon, "F": F}
+    out = top_states_outputs(q, top_L, H, K, v, sa.states, onehot,
+                             dense_states)
+    if not dense_states:
+        out["cand"] = cand
+    out.update({"s_mean": s_mean, "recon": recon, "F": F})
+    return out
 
 
 def truncated_prior_logmass(log_pi_active, H: int, gamma: int):

@@ -438,19 +438,22 @@ def _chunk_gsc_estats(y, w, W, gram, gram_diag, sigma2, pi, mu, psi,
 def gsc_posterior(y: jnp.ndarray, W: jnp.ndarray, sigma2, pi, mu, psi,
                   sa: LinearStateArrays, Hp: int, top_L: int = 10,
                   beta=1.0, prior_beta=1.0,
-                  chunk: int = 1024) -> Dict[str, jnp.ndarray]:
+                  chunk: int = 1024,
+                  dense_states: bool = True) -> Dict[str, jnp.ndarray]:
     """Chunked posterior decode for GSC — bounds the (chunk,S,Hp,Hp)
     per-support linalg tiles at serving scale."""
     from prosper_tpu.core.etstep import chunked_decode
     return chunked_decode(
         lambda y_i: _gsc_posterior_chunk(
-            y_i, W, sigma2, pi, mu, psi, sa, Hp, top_L, beta, prior_beta),
+            y_i, W, sigma2, pi, mu, psi, sa, Hp, top_L, beta, prior_beta,
+            dense_states),
         y, chunk)
 
 
 def _gsc_posterior_chunk(y: jnp.ndarray, W: jnp.ndarray, sigma2, pi, mu, psi,
                          sa: LinearStateArrays, Hp: int, top_L: int = 10,
-                         beta=1.0, prior_beta=1.0) -> Dict[str, jnp.ndarray]:
+                         beta=1.0, prior_beta=1.0,
+                         dense_states: bool = True) -> Dict[str, jnp.ndarray]:
     """Posterior decode for GSC: support probabilities p(b_h=1|y), slab
     means <s_h z_h>, reconstruction W<sz>, top supports, and F."""
     f32 = jnp.float32
@@ -519,18 +522,13 @@ def _gsc_posterior_chunk(y: jnp.ndarray, W: jnp.ndarray, sigma2, pi, mu, psi,
     sz_mean = (q_single * kappa1) + jnp.einsum("na,nah->nh", sz_cand, onehot)
     recon = jnp.dot(sz_mean, W.T, preferred_element_type=f32)
 
-    from prosper_tpu.core.select import top_l_argmax
-    top_q, top_u = top_l_argmax(q, top_L)
-    u = top_u - 1
-    is_single = (u >= 0) & (u < H)
-    single_vec = jax.nn.one_hot(jnp.where(is_single, u, 0), H,
-                                dtype=f32) * is_single[..., None]
-    s_idx = jnp.clip(u - H, 0, S - 1)
-    is_multi = u >= H
-    multi_cand_vals = act[s_idx] * is_multi[..., None]
-    multi_vec = jnp.einsum("nla,nah->nlh", multi_cand_vals, onehot)
-    return {"top_states": single_vec + multi_vec, "top_probs": top_q,
-            "b_mean": b_mean, "s_mean": sz_mean, "recon": recon, "F": F}
+    from prosper_tpu.core.etstep import top_states_outputs
+    out = top_states_outputs(q, top_L, H, 1, jnp.ones((1,), f32), act,
+                             onehot, dense_states)
+    if not dense_states:
+        out["cand"] = cand
+    out.update({"b_mean": b_mean, "s_mean": sz_mean, "recon": recon, "F": F})
+    return out
 
 
 def gsc_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,

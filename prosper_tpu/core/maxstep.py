@@ -372,20 +372,22 @@ def max_et_posterior(y: jnp.ndarray, W: jnp.ndarray, sigma2,
                      log_odds_scalar, sa: LinearStateArrays, Hp: int,
                      magnitude: bool, top_L: int = 10,
                      beta=1.0, prior_beta=1.0,
-                     chunk: int = 256) -> Dict[str, jnp.ndarray]:
+                     chunk: int = 256,
+                     dense_states: bool = True) -> Dict[str, jnp.ndarray]:
     """Chunked posterior decode for max models — the (chunk, S, D)
     reconstruction tile must stay bounded exactly as in training."""
     from prosper_tpu.core.etstep import chunked_decode
     return chunked_decode(
         lambda y_i: _max_et_posterior_chunk(
             y_i, W, sigma2, log_odds_scalar, sa, Hp, magnitude, top_L,
-            beta, prior_beta), y, chunk)
+            beta, prior_beta, dense_states), y, chunk)
 
 
 def _max_et_posterior_chunk(y: jnp.ndarray, W: jnp.ndarray, sigma2,
                             log_odds_scalar, sa: LinearStateArrays, Hp: int,
                             magnitude: bool, top_L: int = 10,
-                            beta=1.0, prior_beta=1.0) -> Dict[str, jnp.ndarray]:
+                            beta=1.0, prior_beta=1.0,
+                            dense_states: bool = True) -> Dict[str, jnp.ndarray]:
     """Posterior decode for max models (reference: inference, SURVEY §3.3).
 
     Returns top_states/top_probs (full-H binary vectors over the truncated
@@ -447,18 +449,13 @@ def _max_et_posterior_chunk(y: jnp.ndarray, W: jnp.ndarray, sigma2,
              + jnp.einsum("ns,nsd->nd", q_multi,
                           jnp.where(ybar > neg_inf / 2, ybar, 0.0)))
 
-    from prosper_tpu.core.select import top_l_argmax
-    top_q, top_u = top_l_argmax(q, top_L)
-    u = top_u - 1
-    is_single = (u >= 0) & (u < H)
-    single_vec = jax.nn.one_hot(jnp.where(is_single, u, 0), H,
-                                dtype=f32) * is_single[..., None]
-    s_idx = jnp.clip(u - H, 0, S - 1)
-    is_multi = u >= H
-    multi_cand_vals = sa.states[s_idx] * is_multi[..., None]
-    multi_vec = jnp.einsum("nla,nah->nlh", multi_cand_vals, onehot)
-    return {"top_states": single_vec + multi_vec, "top_probs": top_q,
-            "s_mean": s_mean, "recon": recon, "F": F}
+    from prosper_tpu.core.etstep import top_states_outputs
+    out = top_states_outputs(q, top_L, H, 1, jnp.ones((1,), f32), sa.states,
+                             onehot, dense_states)
+    if not dense_states:
+        out["cand"] = cand
+    out.update({"s_mean": s_mean, "recon": recon, "F": F})
+    return out
 
 
 def max_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,

@@ -109,8 +109,10 @@ class GSC(ETModel):
         return new, F, scalars
 
     def inference(self, params, data, top_L: int = 10, anneal=None,
-                  runtime=None):
-        """Posterior decode (reference: CAModel.inference)."""
+                  runtime=None, dense_states: bool = True):
+        """Posterior decode (reference: CAModel.inference).
+        ``dense_states=False``: compact top-state fields (see LinearETModel
+        .inference) — faster at serving scale."""
         from prosper_tpu.core.gscstep import gsc_posterior
         from prosper_tpu.models.base import sched_from_anneal
         sched = sched_from_anneal(anneal) if anneal is not None else None
@@ -118,10 +120,11 @@ class GSC(ETModel):
         prior_beta = sched["prior_beta"] if sched else jnp.float32(1.0)
         y = jnp.asarray(data["y"], jnp.float32)
         return self._cached_infer(
-            ("gsc", top_L, self.chunk),
+            ("gsc", top_L, self.chunk, dense_states),
             lambda y_, p, b, pb: gsc_posterior(
                 y_, p["W"], p["sigma"] ** 2, p["pi"], p["mu"], p["psi"],
-                self.sa, self.Hprime, top_L, b, pb, chunk=self.chunk),
+                self.sa, self.Hprime, top_L, b, pb, chunk=self.chunk,
+                dense_states=dense_states),
             y, params, beta, prior_beta, runtime=runtime)
 
     # -- generation -----------------------------------------------------------

@@ -126,8 +126,10 @@ class MCA(ETModel):
 
 
     def inference(self, params, data, top_L: int = 10, anneal=None,
-                  runtime=None):
-        """Posterior decode (reference: CAModel.inference)."""
+                  runtime=None, dense_states: bool = True):
+        """Posterior decode (reference: CAModel.inference).
+        ``dense_states=False``: compact top-state fields (see LinearETModel
+        .inference) — faster at serving scale."""
         from prosper_tpu.core.maxstep import max_et_posterior
         from prosper_tpu.models.base import sched_from_anneal
         sched = sched_from_anneal(anneal) if anneal is not None else None
@@ -135,11 +137,11 @@ class MCA(ETModel):
         prior_beta = sched["prior_beta"] if sched else jnp.float32(1.0)
         y = jnp.asarray(data["y"], jnp.float32)
         return self._cached_infer(
-            ("max", top_L, self.chunk),
+            ("max", top_L, self.chunk, dense_states),
             lambda y_, p, b, pb: max_et_posterior(
                 y_, p["W"], p["sigma"] ** 2, self._log_odds(p), self.sa,
                 self.Hprime, self.magnitude, top_L, b, pb,
-                chunk=self.chunk),
+                chunk=self.chunk, dense_states=dense_states),
             y, params, beta, prior_beta, runtime=runtime)
 
 

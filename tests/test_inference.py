@@ -186,3 +186,43 @@ def test_inference_sharded_over_mesh_matches_single_device():
     for k in out1:
         np.testing.assert_allclose(np.asarray(out1[k]), np.asarray(out2[k]),
                                    rtol=1e-5, atol=1e-5, err_msg=k)
+
+
+@pytest.mark.parametrize("family", ["bsc", "dsc", "gsc", "mca"])
+def test_compact_decode_densifies_to_dense(family):
+    """inference(dense_states=False) + densify_top_states must reproduce the
+    dense top_states bit-for-bit (the compact path replaces the layout-
+    hostile (N, L, H) construction with candidate-space fields —
+    tools/ablate_decode.py)."""
+    from prosper_tpu.core.etstep import densify_top_states
+
+    rng = np.random.default_rng(7)
+    N, L = 64, 6
+    if family == "bsc":
+        model = BSC(16, 8, 5, 3)
+    elif family == "dsc":
+        from prosper_tpu.models.linear import DSC
+        model = DSC(16, 8, 4, 3, phi=(-1.0, 1.0, 2.0))
+    elif family == "gsc":
+        from prosper_tpu.models.gsc import GSC
+        model = GSC(16, 8, 5, 3)
+    else:
+        from prosper_tpu.models.mca import MCA
+        model = MCA(16, 8, 5, 3)
+    y = rng.standard_normal((N, model.D)).astype(np.float32)
+    params = model.standard_init({"y": y}, seed=3)
+    dense = model.inference(params, {"y": y}, top_L=L)
+    compact = model.inference(params, {"y": y}, top_L=L, dense_states=False)
+
+    assert "top_states" not in compact
+    assert compact["top_cand_states"].shape == (N, L, model.Hprime)
+    assert compact["cand"].shape == (N, model.Hprime)
+    np.testing.assert_array_equal(np.asarray(dense["top_probs"]),
+                                  np.asarray(compact["top_probs"]))
+    for k in ("s_mean", "recon", "F"):
+        np.testing.assert_array_equal(np.asarray(dense[k]),
+                                      np.asarray(compact[k]))
+    ts = densify_top_states(compact, model.H)
+    np.testing.assert_allclose(np.asarray(ts),
+                               np.asarray(dense["top_states"]),
+                               rtol=0, atol=0)
