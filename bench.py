@@ -234,8 +234,12 @@ def main():
         N_TPU, flops=lambda m: linear_flops_per_dp(
             D, H, 5, m.sa.states.shape[0], K=3), backend_note="pallas")
     # big-S on-chip path (SURVEY §5.7 motivation: S explodes combinatorially;
-    # single-chip state-replicated here, state-sharded on a mesh)
-    run_family("tsc_bigs", lambda: TSC(64, 32, 10, 5, chunk=1024),
+    # single-chip here, state-sharded on a mesh).  s_block = the online-
+    # logsumexp state-tiled path — the (chunk, S) logits never reach HBM
+    # (2.4x over the materialised path at S=12,564; chunk/s_block swept
+    # on chip 2026-08-18)
+    run_family("tsc_bigs", lambda: TSC(64, 32, 10, 5, chunk=8192,
+                                       s_block=512),
                65536, iters=3)
     # batch sizes amortise the relay/dispatch fixed cost (~3 ms/call —
     # measured: MCA "2.4M" at N=16k vs 6.2M at N=262k, same program)

@@ -316,12 +316,152 @@ def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArr
     return F, sums
 
 
+def _chunk_estats_bigs(y, w, W, gram, gram_diag, sigma2, log_odds,
+                       sa: LinearStateArrays, Hp: int, signed_select: bool,
+                       beta, prior_beta, s_block: int):
+    """Big-S E-statistics for one chunk: S-blocked online logsumexp.
+
+    The standard path materialises (C, S) logits; at S ~ 10^4+ the step
+    becomes HBM-bound on that traffic (measured: tsc_bigs throughput RISES
+    as the chunk shrinks — 2.06 M dp/s at chunk=512 vs 0.75 M at 4096).
+    Here the enumerated states are processed in ``s_block``-sized tiles via
+    ``lax.scan`` with flash-attention-style running (max, mass, moment)
+    accumulators — the same online-logsumexp algebra the state-sharded path
+    applies across devices (SURVEY.md §5.7), applied sequentially within one
+    device.  Nothing of size (C, S) ever reaches HBM.
+
+    Supports the state-replicated path only (no state_axis / collect_phi —
+    linear_et_estep raises on the combination).
+    """
+    C, D = y.shape
+    H = W.shape[1]
+    K = sa.values.shape[0]
+    S = sa.states.shape[0]
+    f32 = jnp.float32
+    neg = jnp.float32(-3e38)
+    inv2s2 = 0.5 / sigma2
+
+    P = jnp.dot(y, W, preferred_element_type=f32)                    # (C, H)
+    w_norm = jnp.sqrt(jnp.maximum(gram_diag, 1e-30))
+    from prosper_tpu.core.select import top_hprime_candidates_dense
+    cand, onehot = top_hprime_candidates_dense(P, w_norm, Hp, signed_select)
+    proj = jnp.einsum("nah,nh->na", onehot, P)                       # (C, Hp)
+    T = jnp.dot(onehot.reshape(C * Hp, H), gram,
+                preferred_element_type=f32).reshape(C, Hp, H)
+    G = jnp.einsum("nak,nbk->nab", T, onehot)
+    Gf = G.reshape(C, Hp * Hp)
+
+    # ---- zero + singleton part (small: 1 + H*K columns) ---------------------
+    v = sa.values
+    lik_single = (2.0 * P[:, :, None] * v[None, None, :]
+                  - gram_diag[None, :, None] * (v ** 2)[None, None, :]) * inv2s2
+    logits_single = (beta * lik_single
+                     + prior_beta * log_odds[None, None, :]).reshape(C, H * K)
+    m_a = jnp.maximum(0.0, jnp.max(logits_single, axis=1))          # zero logit = 0
+    l_a = jnp.exp(-m_a) + jnp.sum(jnp.exp(logits_single - m_a[:, None]), 1)
+    logits_single_t = (lik_single + log_odds[None, None, :]).reshape(C, H * K)
+    m_at = jnp.maximum(0.0, jnp.max(logits_single_t, axis=1))
+    l_at = (jnp.exp(-m_at)
+            + jnp.sum(jnp.exp(logits_single_t - m_at[:, None]), 1))
+
+    # ---- multi part: scan over state blocks ---------------------------------
+    nblocks = -(-S // s_block)
+    pad = nblocks * s_block - S
+    states_p = jnp.pad(sa.states, ((0, pad), (0, 0)))
+    outer_p = jnp.pad(sa.outer, ((0, pad), (0, 0)))
+    vcounts_p = jnp.pad(sa.value_counts, ((0, pad), (0, 0)))
+    absst_p = jnp.pad(sa.abs_states, ((0, pad),))
+    prior = vcounts_p @ log_odds
+    prior = jnp.where(jnp.arange(nblocks * s_block) < S, prior, neg)
+
+    xs = (states_p.reshape(nblocks, s_block, Hp),
+          outer_p.reshape(nblocks, s_block, Hp * Hp),
+          vcounts_p.reshape(nblocks, s_block, K),
+          absst_p.reshape(nblocks, s_block),
+          prior.reshape(nblocks, s_block))
+
+    def body(carry, xb):
+        m, l, m_t, l_t, a_s, a_ss, a_vc, a_abs = carry
+        st_b, ot_b, vc_b, ab_b, pr_b = xb
+        lik = (2.0 * jnp.dot(proj, st_b.T, preferred_element_type=f32)
+               - jnp.dot(Gf, ot_b.T, preferred_element_type=f32)) * inv2s2
+        logits = beta * lik + prior_beta * pr_b[None, :]
+        m_new = jnp.maximum(m, jnp.max(logits, axis=1))
+        r = jnp.exp(m - m_new)
+        p = jnp.exp(logits - m_new[:, None])
+        l = l * r + jnp.sum(p, axis=1)
+        a_s = a_s * r[:, None] + jnp.dot(p, st_b, preferred_element_type=f32)
+        a_ss = (a_ss * r[:, None]
+                + jnp.dot(p, ot_b, preferred_element_type=f32))
+        a_vc = a_vc * r[:, None] + jnp.dot(p, vc_b, preferred_element_type=f32)
+        a_abs = a_abs * r + jnp.dot(p, ab_b, preferred_element_type=f32)
+        # un-annealed (true) logsumexp for the Q channel — max/mass only
+        logits_t = lik + pr_b[None, :]
+        m_tn = jnp.maximum(m_t, jnp.max(logits_t, axis=1))
+        l_t = (l_t * jnp.exp(m_t - m_tn)
+               + jnp.sum(jnp.exp(logits_t - m_tn[:, None]), axis=1))
+        return (m_new, l, m_tn, l_t, a_s, a_ss, a_vc, a_abs), None
+
+    init = (jnp.full((C,), neg), jnp.zeros((C,), f32),
+            jnp.full((C,), neg), jnp.zeros((C,), f32),
+            jnp.zeros((C, Hp), f32), jnp.zeros((C, Hp * Hp), f32),
+            jnp.zeros((C, K), f32), jnp.zeros((C,), f32))
+    (m_b, l_b, m_bt, l_bt, a_s, a_ss, a_vc, a_abs), _ = jax.lax.scan(
+        body, init, xs)
+
+    # ---- combine the two partial softmaxes ----------------------------------
+    M = jnp.maximum(m_a, m_b)
+    Z = l_a * jnp.exp(m_a - M) + l_b * jnp.exp(m_b - M)
+    logZ = M + jnp.log(Z)
+    M_t = jnp.maximum(m_at, m_bt)
+    Z_t = l_at * jnp.exp(m_at - M_t) + l_bt * jnp.exp(m_bt - M_t)
+
+    y2 = jnp.sum(y * y, axis=1)
+    log_p0 = -jnp.log1p(jnp.sum(jnp.exp(log_odds)))
+    log_norm = 0.5 * D * jnp.log(2.0 * jnp.pi * sigma2)
+    F = logZ - beta * (y2 * inv2s2) - beta * log_norm + prior_beta * H * log_p0
+    F_true = (M_t + jnp.log(Z_t)) - y2 * inv2s2 - log_norm + H * log_p0
+
+    # normalized posteriors / moments
+    q_single = (jnp.exp(logits_single - M[:, None]) / Z[:, None]
+                ).reshape(C, H, K)
+    scale_b = (jnp.exp(m_b - M) / Z)[:, None]                       # (C, 1)
+    s_cand = a_s * scale_b                                          # (C, Hp)
+    ss_cand = a_ss * scale_b                                        # (C, Hp^2)
+    vc_cand = a_vc * scale_b                                        # (C, K)
+    abs_cand = a_abs * scale_b[:, 0]                                # (C,)
+
+    # ---- sufficient statistics (identical algebra to _chunk_estats) ---------
+    wv = w.astype(f32)
+    s_single = q_single @ v
+    ss_diag_single = q_single @ (v ** 2)
+    s_full = s_single + jnp.einsum("na,nah->nh", s_cand, onehot)
+    ss3w = ss_cand.reshape(C, Hp, Hp) * wv[:, None, None]
+    T2 = jnp.einsum("nab,nbh->nah", ss3w, onehot)
+    sum_ss = jnp.einsum("nah,nak->hk", onehot, T2)
+    sw = s_full * wv[:, None]
+    sum_xs = jnp.dot(y.T, sw, preferred_element_type=f32)
+    sum_s = jnp.sum(sw, axis=0)
+    sum_ss = sum_ss + jnp.diag(jnp.sum(ss_diag_single * wv[:, None], axis=0))
+
+    abs_n = jnp.sum(q_single, axis=(1, 2)) + abs_cand
+    vc_n = jnp.sum(q_single, axis=1) + vc_cand
+    sums = dict(
+        xs=sum_xs, ss=sum_ss, s=sum_s,
+        abs=jnp.sum(abs_n * wv), vc=jnp.sum(vc_n * wv[:, None], axis=0),
+        y2=jnp.sum(y2 * wv), n=jnp.sum(wv),
+        F=jnp.sum(F * wv), F_true=jnp.sum(F_true * wv),
+    )
+    return F, sums
+
+
 def linear_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
                     sigma2, log_odds: jnp.ndarray, sa: LinearStateArrays,
                     Hp: int, signed_select: bool, beta, prior_beta,
                     chunk: int = 2048, state_axis=None,
                     n_state_shards: int = 1, compute_dtype=None,
-                    collect_phi: bool = False, slot_onehot=None
+                    collect_phi: bool = False, slot_onehot=None,
+                    s_block: int = 0
                     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Full-shard E-step with chunked online accumulation.
 
@@ -336,16 +476,28 @@ def linear_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
     gram = jnp.dot(W.T, W, preferred_element_type=jnp.float32)           # (H, H)
     gram_diag = jnp.diagonal(gram)
 
-    # one-hot GEMM gathers are the TPU fast path; fall back to index
-    # gathers/scatters only when the (chunk, Hp, H) one-hot would be huge
-    dense = (min(N, chunk) * Hp * H * 4) <= 512 * 1024 * 1024
+    if s_block > 0:
+        if state_axis is not None or collect_phi:
+            raise ValueError("s_block (the big-S online-logsumexp path) "
+                             "does not compose with state sharding or Phi "
+                             "learning; use one or the other")
+        body = partial(_chunk_estats_bigs, W=W, gram=gram,
+                       gram_diag=gram_diag, sigma2=sigma2,
+                       log_odds=log_odds, sa=sa, Hp=Hp,
+                       signed_select=signed_select, beta=beta,
+                       prior_beta=prior_beta, s_block=s_block)
+    else:
+        # one-hot GEMM gathers are the TPU fast path; fall back to index
+        # gathers/scatters only when the (chunk, Hp, H) one-hot would be huge
+        dense = (min(N, chunk) * Hp * H * 4) <= 512 * 1024 * 1024
 
-    body = partial(_chunk_estats, W=W, gram=gram, gram_diag=gram_diag,
-                   sigma2=sigma2, log_odds=log_odds, sa=sa, Hp=Hp,
-                   signed_select=signed_select, beta=beta, prior_beta=prior_beta,
-                   state_axis=state_axis, n_state_shards=n_state_shards,
-                   dense_gather=dense, compute_dtype=compute_dtype,
-                   collect_phi=collect_phi, slot_onehot=slot_onehot)
+        body = partial(_chunk_estats, W=W, gram=gram, gram_diag=gram_diag,
+                       sigma2=sigma2, log_odds=log_odds, sa=sa, Hp=Hp,
+                       signed_select=signed_select, beta=beta,
+                       prior_beta=prior_beta,
+                       state_axis=state_axis, n_state_shards=n_state_shards,
+                       dense_gather=dense, compute_dtype=compute_dtype,
+                       collect_phi=collect_phi, slot_onehot=slot_onehot)
 
     if N <= chunk:
         return body(y, weight)

@@ -44,13 +44,19 @@ class LinearETModel(ETModel):
 
     def __init__(self, D, H, Hprime, gamma, values, to_learn=None, chunk=2048,
                  min_active: int = 2, backend: str = "xla",
-                 compute_dtype=None, ncut_current: bool = False):
+                 compute_dtype=None, ncut_current: bool = False,
+                 s_block: int = 0):
         super().__init__(D, H, Hprime, gamma, to_learn, chunk)
         if backend not in ("xla", "pallas"):
             raise ValueError(f"backend must be 'xla' or 'pallas', got {backend!r}")
         #: 'pallas' switches the E-step to the fused VMEM kernel
         #: (ops/linear_pallas.py; single-device path only)
         self.backend = backend
+        #: big-S mode: process the enumerated states in s_block-sized tiles
+        #: with online-logsumexp accumulation instead of materialising the
+        #: (chunk, S) logits — the fast path when S >~ 10^4 (HBM-bound
+        #: otherwise; see core/etstep.py::_chunk_estats_bigs).  0 = off.
+        self.s_block = int(s_block)
         #: reference-parity Ncut semantics: rank the data cut by the CURRENT
         #: iteration's free energies (SURVEY.md §3.1) at the price of a
         #: second E-step pass while the cut is active; the default one-pass
@@ -117,13 +123,18 @@ class LinearETModel(ETModel):
                     y, weight, params["W"], sigma2, self.log_odds(params),
                     sa, self.Hprime, self.signed_select, sched["beta"],
                     sched["prior_beta"])
+            # big-S tiling composes with neither state sharding nor Phi
+            # learning; those paths take precedence when active
+            s_block = (self.s_block if state_axis is None
+                       and not self.learn_phi else 0)
             return linear_et_estep(
                 y, weight, params["W"], sigma2, self.log_odds(params),
                 sa, self.Hprime, self.signed_select, sched["beta"],
                 sched["prior_beta"], self.chunk, state_axis=state_axis,
                 n_state_shards=n_state_shards,
                 compute_dtype=self.compute_dtype,
-                collect_phi=self.learn_phi, slot_onehot=self._slot_onehot)
+                collect_phi=self.learn_phi, slot_onehot=self._slot_onehot,
+                s_block=s_block)
 
         # one-pass (lagged) vs reference-semantics (current-F) Ncut — the
         # shared base-class orchestration (models/base.py)
@@ -215,10 +226,11 @@ class BSC(LinearETModel):
     signed_select = False
 
     def __init__(self, D, H, Hprime, gamma, to_learn=None, chunk=2048,
-                 backend: str = "xla", ncut_current: bool = False):
+                 backend: str = "xla", ncut_current: bool = False,
+                 s_block: int = 0):
         super().__init__(D, H, Hprime, gamma, values=[1.0],
                          to_learn=to_learn, chunk=chunk, backend=backend,
-                         ncut_current=ncut_current)
+                         ncut_current=ncut_current, s_block=s_block)
 
     def log_odds(self, params):
         pi = params["pi"]
@@ -247,10 +259,11 @@ class TSC(LinearETModel):
     signed_select = True
 
     def __init__(self, D, H, Hprime, gamma, to_learn=None, chunk=2048,
-                 backend: str = "xla", ncut_current: bool = False):
+                 backend: str = "xla", ncut_current: bool = False,
+                 s_block: int = 0):
         super().__init__(D, H, Hprime, gamma, values=[-1.0, 1.0],
                          to_learn=to_learn, chunk=chunk, backend=backend,
-                         ncut_current=ncut_current)
+                         ncut_current=ncut_current, s_block=s_block)
 
     def log_odds(self, params):
         pi = params["pi"]
@@ -295,10 +308,10 @@ class DSC(LinearETModel):
 
     def __init__(self, D, H, Hprime, gamma, phi=( -1.0, 1.0, 2.0),
                  to_learn=None, chunk=2048, backend: str = "xla",
-                 ncut_current: bool = False):
+                 ncut_current: bool = False, s_block: int = 0):
         super().__init__(D, H, Hprime, gamma, values=list(phi),
                          to_learn=to_learn, chunk=chunk, backend=backend,
-                         ncut_current=ncut_current)
+                         ncut_current=ncut_current, s_block=s_block)
         self.phi = np.asarray(phi, np.float64)
         if "phi" in self.to_learn:
             self.learn_phi = True

@@ -169,3 +169,52 @@ def test_model_step_runs_and_improves_F(cls, kwargs):
     p2, F2, s2 = step(p1, data, sched, rng)
     assert np.isfinite(float(s1["F_mean"])) and np.isfinite(float(s2["F_mean"]))
     assert float(s2["F_mean"]) >= float(s1["F_mean"]) - 1e-3
+
+
+@pytest.mark.parametrize("cls,kw", [("BSC", {}), ("TSC", {}),
+                                    ("DSC", {"phi": (-1.0, 1.0, 2.0)})])
+def test_sblock_path_matches_standard(cls, kw):
+    """The big-S online-logsumexp path (s_block > 0) must reproduce the
+    standard (materialised-logits) E-step: per-datapoint F, all summed
+    sufficient statistics, and the M-step output.  Covers S % s_block != 0
+    padding and the N > chunk scan-of-scan."""
+    from prosper_tpu.models.linear import BSC, DSC, TSC
+
+    from prosper_tpu.engine.anneal import LinearAnnealing
+    from prosper_tpu.models.base import make_blank_data, sched_from_anneal
+
+    factory = {"BSC": BSC, "TSC": TSC, "DSC": DSC}[cls]
+    rng = np.random.default_rng(3)
+    N = 384
+    m_std = factory(16, 12, 6, 4, chunk=128, **kw)
+    S = m_std.sa.states.shape[0]
+    m_blk = factory(16, 12, 6, 4, chunk=128, s_block=48, **kw)
+    assert S % 48 != 0, "test must exercise the state-padding edge"
+    y = rng.standard_normal((N, 16)).astype(np.float32)
+    params = m_std.standard_init({"y": y}, seed=4)
+    data = make_blank_data(y)
+    sched = sched_from_anneal(LinearAnnealing(10))
+    key = jax.random.PRNGKey(0)
+    p1, F1, s1 = m_std.jit_step()(params, data, sched, key)
+    p2, F2, s2 = m_blk.jit_step()(params, data, sched, key)
+    np.testing.assert_allclose(np.asarray(F1), np.asarray(F2),
+                               rtol=2e-5, atol=1e-4)
+    for k in p1:
+        np.testing.assert_allclose(np.asarray(p1[k]), np.asarray(p2[k]),
+                                   rtol=2e-5, atol=1e-5, err_msg=k)
+    for k in ("F_mean", "Q_mean", "n_used"):
+        np.testing.assert_allclose(float(s1[k]), float(s2[k]), rtol=2e-5)
+
+
+def test_sblock_rejects_state_sharding_combo():
+    from prosper_tpu.core.etstep import linear_et_estep
+    from prosper_tpu.models.linear import BSC
+
+    m = BSC(16, 12, 6, 3)
+    y = jnp.zeros((32, 16), jnp.float32)
+    w = jnp.ones((32,), jnp.float32)
+    with pytest.raises(ValueError, match="s_block"):
+        linear_et_estep(y, w, jnp.zeros((16, 12)), jnp.float32(1.0),
+                        jnp.zeros((1,)), m.sa, 6, False, 1.0, 1.0,
+                        chunk=32, state_axis="state", n_state_shards=2,
+                        s_block=16)
