@@ -318,7 +318,8 @@ def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArr
 
 def _chunk_estats_bigs(y, w, W, gram, gram_diag, sigma2, log_odds,
                        sa: LinearStateArrays, Hp: int, signed_select: bool,
-                       beta, prior_beta, s_block: int):
+                       beta, prior_beta, s_block: int, compute_dtype=None,
+                       state_axis=None, n_state_shards: int = 1):
     """Big-S E-statistics for one chunk: S-blocked online logsumexp.
 
     The standard path materialises (C, S) logits; at S ~ 10^4+ the step
@@ -330,8 +331,13 @@ def _chunk_estats_bigs(y, w, W, gram, gram_diag, sigma2, log_odds,
     applies across devices (SURVEY.md §5.7), applied sequentially within one
     device.  Nothing of size (C, S) ever reaches HBM.
 
-    Supports the state-replicated path only (no state_axis / collect_phi —
-    linear_et_estep raises on the combination).
+    Composes with state sharding (SURVEY §5.7's real DSC S=1e5+ regime —
+    shard the state axis ACROSS devices, tile the per-device slice in
+    s_block chunks): each device scans only its contiguous S/n slice; the
+    per-device (max, mass) pairs and moment accumulators are combined with
+    the identical online-logsumexp rescale via pmax/psum over
+    ``state_axis``.  Zero/singleton states and per-datapoint scalars are
+    owned by state-rank 0, exactly as in _chunk_estats.
     """
     C, D = y.shape
     H = W.shape[1]
@@ -340,8 +346,13 @@ def _chunk_estats_bigs(y, w, W, gram, gram_diag, sigma2, log_odds,
     f32 = jnp.float32
     neg = jnp.float32(-3e38)
     inv2s2 = 0.5 / sigma2
+    sharded = state_axis is not None and n_state_shards > 1
 
-    P = jnp.dot(y, W, preferred_element_type=f32)                    # (C, H)
+    if compute_dtype is not None:
+        P = jnp.dot(y.astype(compute_dtype), W.astype(compute_dtype),
+                    preferred_element_type=f32)                      # (C, H)
+    else:
+        P = jnp.dot(y, W, preferred_element_type=f32)                # (C, H)
     w_norm = jnp.sqrt(jnp.maximum(gram_diag, 1e-30))
     from prosper_tpu.core.select import top_hprime_candidates_dense
     cand, onehot = top_hprime_candidates_dense(P, w_norm, Hp, signed_select)
@@ -351,41 +362,65 @@ def _chunk_estats_bigs(y, w, W, gram, gram_diag, sigma2, log_odds,
     G = jnp.einsum("nak,nbk->nab", T, onehot)
     Gf = G.reshape(C, Hp * Hp)
 
-    # ---- zero + singleton part (small: 1 + H*K columns) ---------------------
+    # ---- zero + singleton part (small: 1 + H*K columns), rank-0-owned ------
+    if sharded:
+        own_zs = (jax.lax.axis_index(state_axis) == 0).astype(f32)
+    else:
+        own_zs = jnp.float32(1.0)
     v = sa.values
     lik_single = (2.0 * P[:, :, None] * v[None, None, :]
                   - gram_diag[None, :, None] * (v ** 2)[None, None, :]) * inv2s2
     logits_single = (beta * lik_single
                      + prior_beta * log_odds[None, None, :]).reshape(C, H * K)
-    m_a = jnp.maximum(0.0, jnp.max(logits_single, axis=1))          # zero logit = 0
-    l_a = jnp.exp(-m_a) + jnp.sum(jnp.exp(logits_single - m_a[:, None]), 1)
+    logits_single = jnp.where(own_zs > 0, logits_single, neg)
+    zero_logit = jnp.where(own_zs > 0, 0.0, neg)
+    m_a = jnp.maximum(zero_logit, jnp.max(logits_single, axis=1))
+    l_a = (jnp.exp(zero_logit - m_a)
+           + jnp.sum(jnp.exp(logits_single - m_a[:, None]), 1))
     logits_single_t = (lik_single + log_odds[None, None, :]).reshape(C, H * K)
-    m_at = jnp.maximum(0.0, jnp.max(logits_single_t, axis=1))
-    l_at = (jnp.exp(-m_at)
+    logits_single_t = jnp.where(own_zs > 0, logits_single_t, neg)
+    m_at = jnp.maximum(zero_logit, jnp.max(logits_single_t, axis=1))
+    l_at = (jnp.exp(zero_logit - m_at)
             + jnp.sum(jnp.exp(logits_single_t - m_at[:, None]), 1))
 
-    # ---- multi part: scan over state blocks ---------------------------------
-    nblocks = -(-S // s_block)
-    pad = nblocks * s_block - S
+    # ---- multi part: scan over state blocks (this device's slice) ----------
+    # pad the GLOBAL state axis so each of n_state_shards contiguous slices
+    # is a whole number of s_block tiles, then slice locally
+    S_loc_raw = -(-S // n_state_shards)
+    S_loc = -(-S_loc_raw // s_block) * s_block
+    nblocks = S_loc // s_block
+    pad = S_loc * n_state_shards - S
     states_p = jnp.pad(sa.states, ((0, pad), (0, 0)))
     outer_p = jnp.pad(sa.outer, ((0, pad), (0, 0)))
     vcounts_p = jnp.pad(sa.value_counts, ((0, pad), (0, 0)))
     absst_p = jnp.pad(sa.abs_states, ((0, pad),))
     prior = vcounts_p @ log_odds
-    prior = jnp.where(jnp.arange(nblocks * s_block) < S, prior, neg)
+    # ADVICE r2 (medium): mask padded states with an explicit validity
+    # vector — encoding the mask as prior=neg silently broke at
+    # prior_beta=0 (a legal public-API argument), corrupting F/q/stats
+    valid = (jnp.arange(S_loc * n_state_shards) < S).astype(f32)
+    if sharded:
+        srank = jax.lax.axis_index(state_axis)
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(  # noqa: E731
+            a, srank * S_loc, S_loc, 0)
+        states_p, outer_p, vcounts_p, absst_p, prior, valid = (
+            sl(states_p), sl(outer_p), sl(vcounts_p), sl(absst_p),
+            sl(prior), sl(valid))
 
     xs = (states_p.reshape(nblocks, s_block, Hp),
           outer_p.reshape(nblocks, s_block, Hp * Hp),
           vcounts_p.reshape(nblocks, s_block, K),
           absst_p.reshape(nblocks, s_block),
-          prior.reshape(nblocks, s_block))
+          prior.reshape(nblocks, s_block),
+          valid.reshape(nblocks, s_block))
 
     def body(carry, xb):
         m, l, m_t, l_t, a_s, a_ss, a_vc, a_abs = carry
-        st_b, ot_b, vc_b, ab_b, pr_b = xb
+        st_b, ot_b, vc_b, ab_b, pr_b, va_b = xb
         lik = (2.0 * jnp.dot(proj, st_b.T, preferred_element_type=f32)
                - jnp.dot(Gf, ot_b.T, preferred_element_type=f32)) * inv2s2
         logits = beta * lik + prior_beta * pr_b[None, :]
+        logits = jnp.where(va_b[None, :] > 0, logits, neg)
         m_new = jnp.maximum(m, jnp.max(logits, axis=1))
         r = jnp.exp(m - m_new)
         p = jnp.exp(logits - m_new[:, None])
@@ -396,7 +431,7 @@ def _chunk_estats_bigs(y, w, W, gram, gram_diag, sigma2, log_odds,
         a_vc = a_vc * r[:, None] + jnp.dot(p, vc_b, preferred_element_type=f32)
         a_abs = a_abs * r + jnp.dot(p, ab_b, preferred_element_type=f32)
         # un-annealed (true) logsumexp for the Q channel — max/mass only
-        logits_t = lik + pr_b[None, :]
+        logits_t = jnp.where(va_b[None, :] > 0, lik + pr_b[None, :], neg)
         m_tn = jnp.maximum(m_t, jnp.max(logits_t, axis=1))
         l_t = (l_t * jnp.exp(m_t - m_tn)
                + jnp.sum(jnp.exp(logits_t - m_tn[:, None]), axis=1))
@@ -409,12 +444,18 @@ def _chunk_estats_bigs(y, w, W, gram, gram_diag, sigma2, log_odds,
     (m_b, l_b, m_bt, l_bt, a_s, a_ss, a_vc, a_abs), _ = jax.lax.scan(
         body, init, xs)
 
-    # ---- combine the two partial softmaxes ----------------------------------
+    # ---- combine the two partial softmaxes (and, sharded, across devices) ---
     M = jnp.maximum(m_a, m_b)
-    Z = l_a * jnp.exp(m_a - M) + l_b * jnp.exp(m_b - M)
-    logZ = M + jnp.log(Z)
     M_t = jnp.maximum(m_at, m_bt)
+    if sharded:
+        M = jax.lax.pmax(M, state_axis)
+        M_t = jax.lax.pmax(M_t, state_axis)
+    Z = l_a * jnp.exp(m_a - M) + l_b * jnp.exp(m_b - M)
     Z_t = l_at * jnp.exp(m_at - M_t) + l_bt * jnp.exp(m_bt - M_t)
+    if sharded:
+        Z = jax.lax.psum(Z, state_axis)
+        Z_t = jax.lax.psum(Z_t, state_axis)
+    logZ = M + jnp.log(Z)
 
     y2 = jnp.sum(y * y, axis=1)
     log_p0 = -jnp.log1p(jnp.sum(jnp.exp(log_odds)))
@@ -440,17 +481,23 @@ def _chunk_estats_bigs(y, w, W, gram, gram_diag, sigma2, log_odds,
     T2 = jnp.einsum("nab,nbh->nah", ss3w, onehot)
     sum_ss = jnp.einsum("nah,nak->hk", onehot, T2)
     sw = s_full * wv[:, None]
-    sum_xs = jnp.dot(y.T, sw, preferred_element_type=f32)
+    if compute_dtype is not None:
+        sum_xs = jnp.dot(y.T.astype(compute_dtype), sw.astype(compute_dtype),
+                         preferred_element_type=f32)
+    else:
+        sum_xs = jnp.dot(y.T, sw, preferred_element_type=f32)
     sum_s = jnp.sum(sw, axis=0)
     sum_ss = sum_ss + jnp.diag(jnp.sum(ss_diag_single * wv[:, None], axis=0))
 
     abs_n = jnp.sum(q_single, axis=(1, 2)) + abs_cand
     vc_n = jnp.sum(q_single, axis=1) + vc_cand
+    # per-datapoint scalars are owned by state-rank 0 (the caller psums the
+    # sums over the state axis too, so contributions must count once)
     sums = dict(
         xs=sum_xs, ss=sum_ss, s=sum_s,
         abs=jnp.sum(abs_n * wv), vc=jnp.sum(vc_n * wv[:, None], axis=0),
-        y2=jnp.sum(y2 * wv), n=jnp.sum(wv),
-        F=jnp.sum(F * wv), F_true=jnp.sum(F_true * wv),
+        y2=own_zs * jnp.sum(y2 * wv), n=own_zs * jnp.sum(wv),
+        F=own_zs * jnp.sum(F * wv), F_true=own_zs * jnp.sum(F_true * wv),
     )
     return F, sums
 
@@ -477,15 +524,26 @@ def linear_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
     gram_diag = jnp.diagonal(gram)
 
     if s_block > 0:
-        if state_axis is not None or collect_phi:
+        if collect_phi:
             raise ValueError("s_block (the big-S online-logsumexp path) "
-                             "does not compose with state sharding or Phi "
-                             "learning; use one or the other")
+                             "does not compose with Phi learning; use one "
+                             "or the other")
+        # ADVICE r2 (low): same one-hot HBM guard as the standard path —
+        # the bigs formulation is built around the dense one-hot (proj/T/G
+        # and the suff-stat scatters), so an oversized (chunk, Hp, H)
+        # one-hot is an error here rather than a silent fallback
+        if (min(N, chunk) * Hp * H * 4) > 512 * 1024 * 1024:
+            raise ValueError(
+                f"s_block path: the (chunk={min(N, chunk)}, Hp={Hp}, H={H}) "
+                "candidate one-hot would exceed 512MB; shrink chunk")
         body = partial(_chunk_estats_bigs, W=W, gram=gram,
                        gram_diag=gram_diag, sigma2=sigma2,
                        log_odds=log_odds, sa=sa, Hp=Hp,
                        signed_select=signed_select, beta=beta,
-                       prior_beta=prior_beta, s_block=s_block)
+                       prior_beta=prior_beta, s_block=s_block,
+                       compute_dtype=compute_dtype,
+                       state_axis=state_axis,
+                       n_state_shards=n_state_shards)
     else:
         # one-hot GEMM gathers are the TPU fast path; fall back to index
         # gathers/scatters only when the (chunk, Hp, H) one-hot would be huge

@@ -123,10 +123,10 @@ class LinearETModel(ETModel):
                     y, weight, params["W"], sigma2, self.log_odds(params),
                     sa, self.Hprime, self.signed_select, sched["beta"],
                     sched["prior_beta"])
-            # big-S tiling composes with neither state sharding nor Phi
-            # learning; those paths take precedence when active
-            s_block = (self.s_block if state_axis is None
-                       and not self.learn_phi else 0)
+            # big-S tiling composes with state sharding (round 3: the state
+            # slice is tiled in s_block chunks, combined across the axis
+            # with the same online-logsumexp) but not with Phi learning
+            s_block = self.s_block if not self.learn_phi else 0
             return linear_et_estep(
                 y, weight, params["W"], sigma2, self.log_odds(params),
                 sa, self.Hprime, self.signed_select, sched["beta"],
@@ -227,10 +227,11 @@ class BSC(LinearETModel):
 
     def __init__(self, D, H, Hprime, gamma, to_learn=None, chunk=2048,
                  backend: str = "xla", ncut_current: bool = False,
-                 s_block: int = 0):
+                 s_block: int = 0, compute_dtype=None):
         super().__init__(D, H, Hprime, gamma, values=[1.0],
                          to_learn=to_learn, chunk=chunk, backend=backend,
-                         ncut_current=ncut_current, s_block=s_block)
+                         ncut_current=ncut_current, s_block=s_block,
+                         compute_dtype=compute_dtype)
 
     def log_odds(self, params):
         pi = params["pi"]
@@ -260,10 +261,11 @@ class TSC(LinearETModel):
 
     def __init__(self, D, H, Hprime, gamma, to_learn=None, chunk=2048,
                  backend: str = "xla", ncut_current: bool = False,
-                 s_block: int = 0):
+                 s_block: int = 0, compute_dtype=None):
         super().__init__(D, H, Hprime, gamma, values=[-1.0, 1.0],
                          to_learn=to_learn, chunk=chunk, backend=backend,
-                         ncut_current=ncut_current, s_block=s_block)
+                         ncut_current=ncut_current, s_block=s_block,
+                         compute_dtype=compute_dtype)
 
     def log_odds(self, params):
         pi = params["pi"]
@@ -308,10 +310,12 @@ class DSC(LinearETModel):
 
     def __init__(self, D, H, Hprime, gamma, phi=( -1.0, 1.0, 2.0),
                  to_learn=None, chunk=2048, backend: str = "xla",
-                 ncut_current: bool = False, s_block: int = 0):
+                 ncut_current: bool = False, s_block: int = 0,
+                 compute_dtype=None):
         super().__init__(D, H, Hprime, gamma, values=list(phi),
                          to_learn=to_learn, chunk=chunk, backend=backend,
-                         ncut_current=ncut_current, s_block=s_block)
+                         ncut_current=ncut_current, s_block=s_block,
+                         compute_dtype=compute_dtype)
         self.phi = np.asarray(phi, np.float64)
         if "phi" in self.to_learn:
             self.learn_phi = True

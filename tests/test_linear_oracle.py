@@ -206,7 +206,9 @@ def test_sblock_path_matches_standard(cls, kw):
         np.testing.assert_allclose(float(s1[k]), float(s2[k]), rtol=2e-5)
 
 
-def test_sblock_rejects_state_sharding_combo():
+def test_sblock_rejects_phi_learning_combo():
+    """s_block composes with state sharding as of round 3, but not with
+    Phi-learning statistics (the DP over slot_onehot is not blocked)."""
     from prosper_tpu.core.etstep import linear_et_estep
     from prosper_tpu.models.linear import BSC
 
@@ -216,5 +218,50 @@ def test_sblock_rejects_state_sharding_combo():
     with pytest.raises(ValueError, match="s_block"):
         linear_et_estep(y, w, jnp.zeros((16, 12)), jnp.float32(1.0),
                         jnp.zeros((1,)), m.sa, 6, False, 1.0, 1.0,
-                        chunk=32, state_axis="state", n_state_shards=2,
-                        s_block=16)
+                        chunk=32, collect_phi=True, s_block=16)
+
+
+def test_sblock_prior_beta_zero_matches_standard():
+    """ADVICE r2 (medium) regression: at prior_beta=0 the big-S path's
+    padded states used to enter the softmax with logit 0 (the padding mask
+    was encoded as prior=neg, which prior_beta=0 wiped out), corrupting F
+    and every sufficient statistic.  The explicit validity mask must make
+    the s_block path match the standard path at prior_beta=0 exactly."""
+    from prosper_tpu.core.etstep import linear_et_estep
+    from prosper_tpu.models.linear import BSC
+
+    m = BSC(16, 12, 6, 4, chunk=128)
+    S = m.sa.states.shape[0]
+    assert S % 48 != 0, "test must exercise the state-padding edge"
+    rng = np.random.default_rng(7)
+    y = jnp.asarray(rng.standard_normal((128, 16)).astype(np.float32))
+    w = jnp.ones((128,), jnp.float32)
+    W = jnp.asarray(rng.standard_normal((16, 12)).astype(np.float32))
+    lo = jnp.full((1,), np.log(0.2 / 0.8), jnp.float32)
+    args = (y, w, W, jnp.float32(1.0), lo, m.sa, 6, False,
+            jnp.float32(1.0), jnp.float32(0.0))
+    F1, s1 = jax.jit(lambda: linear_et_estep(*args, chunk=128))()
+    F2, s2 = jax.jit(lambda: linear_et_estep(*args, chunk=128,
+                                             s_block=48))()
+    np.testing.assert_allclose(np.asarray(F1), np.asarray(F2),
+                               rtol=2e-5, atol=1e-4)
+    for k in s1:
+        np.testing.assert_allclose(np.asarray(s1[k]), np.asarray(s2[k]),
+                                   rtol=2e-5, atol=1e-4, err_msg=k)
+
+
+def test_sblock_compute_dtype_runs():
+    """ADVICE r2 (low) regression: compute_dtype threads through the
+    s_block path (previously silently dropped)."""
+    from prosper_tpu.models.linear import TSC
+
+    rng = np.random.default_rng(9)
+    y = rng.standard_normal((128, 16)).astype(np.float32)
+    m = TSC(16, 12, 6, 4, chunk=128, s_block=48, compute_dtype="bfloat16")
+    from prosper_tpu.engine.anneal import LinearAnnealing
+    from prosper_tpu.models.base import make_blank_data, sched_from_anneal
+    params = m.standard_init({"y": y}, seed=4)
+    data = make_blank_data(y)
+    sched = sched_from_anneal(LinearAnnealing(5))
+    p, F, s = m.jit_step()(params, data, sched, jax.random.PRNGKey(0))
+    assert np.isfinite(float(s["F_mean"]))

@@ -104,6 +104,32 @@ def test_state_sharding_big_S_with_padding():
 
 
 @pytest.mark.parametrize("mesh_shape", [(4, 2), (1, 8)])
+def test_sblock_composes_with_state_sharding(mesh_shape):
+    """Round 3 (VERDICT r2 #5): the big-S s_block tiling composes with
+    state sharding — each device scans its S/n slice in s_block tiles and
+    the (max, mass, moments) are combined across the axis with the same
+    online-logsumexp rescale.  Must match the replicated un-tiled step.
+    Slice size (ceil(50/n) rounded to s_block multiples) exercises real
+    per-shard padding."""
+    model = BSC(16, 8, 6, 4, chunk=128)         # S = 50 multi states
+    model_blk = BSC(16, 8, 6, 4, chunk=128, s_block=16)
+    gt = bars_gt_params(model, intensity=10.0, sigma=1.0)
+    data = model.generate_data(gt, 128, seed=13)
+
+    em1 = EM(model, LinearAnnealing(3), {"y": data["y"]}, seed=1)
+    p1 = em1.run()
+    rt = MeshRuntime(mesh_shape=mesh_shape, axis_names=("data", "state"))
+    em2 = EM(model_blk, LinearAnnealing(3), {"y": data["y"]}, seed=1,
+             runtime=rt)
+    p2 = em2.run()
+    np.testing.assert_allclose(np.asarray(p1["W"]), np.asarray(p2["W"]),
+                               rtol=2e-3, atol=2e-3)
+    F1 = [h["Q_mean"] for h in em1.history]
+    F2 = [h["Q_mean"] for h in em2.history]
+    np.testing.assert_allclose(F1, F2, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (1, 8)])
 def test_max_family_state_sharding_equivalence(mesh_shape):
     """MCA/MMCA state sharding (round 2 — closes the 'linear family only'
     partial): sharded shards use the per-state winner loop on their slice;

@@ -15,12 +15,13 @@ forced host sync (the relay does not fence on block_until_ready):
 Usage: python tools/ablate_decode.py [N] [chunk]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
