@@ -206,6 +206,40 @@ def main():
                 max(results.values()), linear_flops_per_dp(D, H, Hp, S_bsc))
             families["bsc"]["backends"] = {k: round(v, 1)
                                            for k, v in results.items()}
+        if len(results) == 2:
+            # on-chip numerics regression (VERDICT r2 weak #5): one EM step
+            # per backend on identical inputs; every updated parameter and
+            # the summed free energy must agree to <= 1e-4 relative
+            try:
+                from prosper_tpu.engine.anneal import LinearAnnealing
+                from prosper_tpu.models.base import (make_blank_data,
+                                                     sched_from_anneal)
+                rng_eq = np.random.default_rng(8)
+                y_eq = rng_eq.standard_normal((CHUNK, D)).astype(np.float32)
+                data_eq = make_blank_data(y_eq)
+                sched_eq = sched_from_anneal(LinearAnnealing(10))
+                key_eq = jax.random.PRNGKey(1)
+                outs = {}
+                for backend in ("pallas", "xla"):
+                    m = BSC(D, H, Hp, GAMMA, chunk=CHUNK, backend=backend)
+                    params = {"W": jnp.asarray(W0), "pi": jnp.float32(pi0),
+                              "sigma": jnp.float32(sigma0)}
+                    p, F, s = m.jit_step()(params, data_eq, sched_eq, key_eq)
+                    outs[backend] = {**{k: np.asarray(v)
+                                        for k, v in p.items()},
+                                     "F_sum": np.asarray(s["F_total"])}
+                max_rel = 0.0
+                for k in outs["pallas"]:
+                    a, b = outs["pallas"][k], outs["xla"][k]
+                    rel = float(np.max(np.abs(a - b))
+                                / (np.max(np.abs(b)) + 1e-30))
+                    max_rel = max(max_rel, rel)
+                families["bsc"]["backends_match"] = bool(max_rel <= 1e-4)
+                families["bsc"]["backends_max_rel"] = float(f"{max_rel:.3g}")
+            except Exception as e:                  # noqa: BLE001
+                print(f"[bench] backends_match failed: {e!r}",
+                      file=sys.stderr)
+                families["bsc"]["backends_match"] = False
 
     # ---- family matrix (BASELINE.md row configs) ----------------------------
     def run_family(name, factory, N, iters=5, flops=None, backend_note=None):
