@@ -590,15 +590,41 @@ def linear_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
 def chunked_decode(fn, y: jnp.ndarray, chunk: int) -> Dict[str, jnp.ndarray]:
     """Shared serving-decode chunker: run ``fn(chunk_of_y) -> dict`` over
     row-chunks with zero padding to the chunk boundary and slice the outputs
-    back to N (bounds per-chunk intermediates at any batch size)."""
+    back to N (bounds per-chunk intermediates at any batch size).
+
+    Transposed-output convention (round 3, the decode-anomaly fix): keys
+    ending in ``_T`` carry the datapoint dimension LAST (e.g. s_mean as
+    (H, C)); they are transposed back and the suffix stripped here, OUTSIDE
+    the chunk loop.  Why: jax.profiler traced 5.1 ms/131k to ONE
+    dynamic-update-slice — XLA stacks per-chunk (C, H) outputs into a
+    (nc, C, H) loop buffer whose layout follows the producing GEMM
+    (feature-major, {1,0,2}), so every chunk's write is a partial-tile
+    read-modify-write.  With the datapoint dim last the stacked buffer's
+    minor dim is the chunk axis, writes are full-tile, and the single
+    transpose per output happens once on the final array (measured 17.6 ->
+    13.4 ms for q+moments, 19.9 -> 15.0 ms for the full compact decode)."""
     N = y.shape[0]
+
+    def unT(out, n_pad, stacked):
+        res = {}
+        for k, v in out.items():
+            if k.endswith("_T"):
+                if stacked:
+                    v = jnp.moveaxis(v, 0, -2)              # (d.., nc, C)
+                    v = v.reshape(v.shape[:-2] + (n_pad,))  # (d.., N_pad)
+                res[k[:-2]] = jnp.moveaxis(v, -1, 0)[:N]
+            else:
+                if stacked:
+                    v = v.reshape((n_pad,) + v.shape[2:])
+                res[k] = v[:N]
+        return res
+
     if N <= chunk:
-        return fn(y)
+        return unT(fn(y), N, stacked=False)
     N_pad = -(-N // chunk) * chunk
     y_pad = jnp.pad(y, ((0, N_pad - N), (0, 0))) if N_pad != N else y
     yc = y_pad.reshape(N_pad // chunk, chunk, y.shape[1])
-    out = jax.lax.map(fn, yc)
-    return {k: v.reshape((N_pad,) + v.shape[2:])[:N] for k, v in out.items()}
+    return unT(jax.lax.map(fn, yc), N_pad, stacked=True)
 
 
 def top_states_outputs(q: jnp.ndarray, L: int, H: int, K: int,
@@ -640,14 +666,18 @@ def top_states_outputs(q: jnp.ndarray, L: int, H: int, K: int,
         multi_vec = jnp.einsum("nla,nah->nlh", mcv, onehot)
         return {"top_probs": top_q, "top_states": single_vec + multi_vec}
     # compact: states gathered by one-hot GEMM (index gathers from the
-    # (S, Hp) table measured ~40% slower, tools/ablate_decode.py)
+    # (S, Hp) table measured ~40% slower, tools/ablate_decode.py); outputs
+    # transposed (datapoint dim last) per the chunked_decode _T convention
+    # — small (C, L) per-chunk tiles stack into RMW-amplified loop buffers
+    # otherwise (the round-3 decode fix)
     su = jax.nn.one_hot(s_idx, S, dtype=f32) * is_multi[..., None]
     mcv = jnp.dot(su.reshape(N * L, S), multi_states,
                   preferred_element_type=f32).reshape(N, L, Hp)
-    return {"top_probs": top_q,
-            "top_single_unit": jnp.where(is_single, sh, -1).astype(jnp.int32),
-            "top_single_value": sv,
-            "top_cand_states": mcv}
+    return {"top_probs_T": top_q.T,
+            "top_single_unit_T":
+                jnp.where(is_single, sh, -1).astype(jnp.int32).T,
+            "top_single_value_T": sv.T,
+            "top_cand_states_T": jnp.transpose(mcv, (1, 2, 0))}
 
 
 def densify_top_states(out: Dict[str, jnp.ndarray], H: int) -> jnp.ndarray:
@@ -746,18 +776,20 @@ def _linear_et_posterior_chunk(y: jnp.ndarray, W: jnp.ndarray,
          - beta * 0.5 * D * jnp.log(2.0 * jnp.pi * sigma2)
          + prior_beta * H * log_p0)
 
-    # posterior mean (scatter-free: dense one-hot GEMMs)
+    # posterior mean (scatter-free: dense one-hot GEMMs), computed with the
+    # datapoint dim LAST (_T convention, see chunked_decode) so the chunk
+    # loop's stacked buffers take full-tile writes
     q_single = q[:, 1:1 + H * K].reshape(N, H, K)
     q_multi = q[:, 1 + H * K:]
     s_cand = jnp.dot(q_multi, sa.states, preferred_element_type=f32)
-    s_mean = (q_single @ v) + jnp.einsum("na,nah->nh", s_cand, onehot)
-    recon = jnp.dot(s_mean, W.T, preferred_element_type=f32)
+    s_meanT = (q_single @ v).T + jnp.einsum("na,nah->hn", s_cand, onehot)
+    reconT = jnp.dot(W, s_meanT, preferred_element_type=f32)     # (D, C)
 
     out = top_states_outputs(q, top_L, H, K, v, sa.states, onehot,
                              dense_states)
     if not dense_states:
-        out["cand"] = cand
-    out.update({"s_mean": s_mean, "recon": recon, "F": F})
+        out["cand_T"] = cand.T
+    out.update({"s_mean_T": s_meanT, "recon_T": reconT, "F": F})
     return out
 
 

@@ -514,20 +514,23 @@ def _gsc_posterior_chunk(y: jnp.ndarray, W: jnp.ndarray, sigma2, pi, mu, psi,
 
     q_single = q[:, 1:1 + H]
     q_multi = q[:, 1 + H:]
-    # support posterior p(b_h = 1 | y)
+    # support posterior p(b_h = 1 | y); posterior means computed with the
+    # datapoint dim LAST (_T convention, chunked_decode round-3 decode fix)
     b_cand = jnp.dot(q_multi, act, preferred_element_type=f32)
-    b_mean = q_single + jnp.einsum("na,nah->nh", b_cand, onehot)
+    b_meanT = q_single.T + jnp.einsum("na,nah->hn", b_cand, onehot)
     # slab means <s_h z_h>
     sz_cand = jnp.einsum("ns,nsh->nh", q_multi, kappa)
-    sz_mean = (q_single * kappa1) + jnp.einsum("na,nah->nh", sz_cand, onehot)
-    recon = jnp.dot(sz_mean, W.T, preferred_element_type=f32)
+    sz_meanT = ((q_single * kappa1).T
+                + jnp.einsum("na,nah->hn", sz_cand, onehot))
+    reconT = jnp.dot(W, sz_meanT, preferred_element_type=f32)    # (D, C)
 
     from prosper_tpu.core.etstep import top_states_outputs
     out = top_states_outputs(q, top_L, H, 1, jnp.ones((1,), f32), act,
                              onehot, dense_states)
     if not dense_states:
-        out["cand"] = cand
-    out.update({"b_mean": b_mean, "s_mean": sz_mean, "recon": recon, "F": F})
+        out["cand_T"] = cand.T
+    out.update({"b_mean_T": b_meanT, "s_mean_T": sz_meanT,
+                "recon_T": reconT, "F": F})
     return out
 
 

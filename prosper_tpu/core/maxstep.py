@@ -443,18 +443,20 @@ def _max_et_posterior_chunk(y: jnp.ndarray, W: jnp.ndarray, sigma2,
 
     q_single = q[:, 1:1 + H]
     q_multi = q[:, 1 + H:]
+    # posterior means with the datapoint dim LAST (_T convention,
+    # chunked_decode round-3 decode fix)
     s_cand = jnp.dot(q_multi, sa.states, preferred_element_type=f32)
-    s_mean = q_single + jnp.einsum("na,nah->nh", s_cand, onehot)
-    recon = (jnp.dot(q_single, W.T, preferred_element_type=f32)
-             + jnp.einsum("ns,nsd->nd", q_multi,
-                          jnp.where(ybar > neg_inf / 2, ybar, 0.0)))
+    s_meanT = q_single.T + jnp.einsum("na,nah->hn", s_cand, onehot)
+    reconT = (jnp.dot(W, q_single.T, preferred_element_type=f32)
+              + jnp.einsum("ns,nsd->dn", q_multi,
+                           jnp.where(ybar > neg_inf / 2, ybar, 0.0)))
 
     from prosper_tpu.core.etstep import top_states_outputs
     out = top_states_outputs(q, top_L, H, 1, jnp.ones((1,), f32), sa.states,
                              onehot, dense_states)
     if not dense_states:
-        out["cand"] = cand
-    out.update({"s_mean": s_mean, "recon": recon, "F": F})
+        out["cand_T"] = cand.T
+    out.update({"s_mean_T": s_meanT, "recon_T": reconT, "F": F})
     return out
 
 
