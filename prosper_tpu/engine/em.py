@@ -404,19 +404,51 @@ class EM:
         self._maybe_checkpoint()
         return scalars
 
+    def _local_np(self, a) -> np.ndarray:
+        """This process's rows of a (possibly cross-process-sharded) array.
+
+        Single-process: the whole array.  Multi-process: the concatenation
+        of this process's addressable shards in global row order — global
+        arrays over non-addressable devices cannot be device_get.
+        """
+        if jax.process_count() == 1 or not isinstance(a, jax.Array):
+            return np.asarray(jax.device_get(a))
+        shards = sorted(a.addressable_shards,
+                        key=lambda s: (s.index[0].start or 0))
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+    def _data_row(self, idx: int) -> np.ndarray:
+        """One datapoint row; multi-process ``idx`` indexes LOCAL rows."""
+        y = self.data["y"]
+        if jax.process_count() == 1:
+            return np.asarray(jax.device_get(y[int(idx)]))
+        off = 0
+        for s in sorted(y.addressable_shards,
+                        key=lambda sh: (sh.index[0].start or 0)):
+            n = s.data.shape[0]
+            if idx < off + n:
+                return np.asarray(s.data)[int(idx) - off]
+            off += n
+        raise IndexError(idx)
+
     def _maybe_revive_duplicates(self) -> None:
         cfg = self.revive_duplicates
         if cfg is None or "W" not in self.params:
-            return
-        if jax.process_count() > 1:
-            # host-side revival would need a coordinated sample/RNG across
-            # processes to preserve SPMD determinism; disabled multi-host
             return
         every, threshold, stop_frac, dead_norm_frac = cfg
         pos = self.anneal.position
         if pos - self._last_revive < every or pos >= stop_frac * self.anneal.steps:
             return
         self._last_revive = pos
+        # Multi-host (VERDICT r2 #10): the gates above are host-deterministic
+        # (same anneal position everywhere), so all processes reach this
+        # point together; rank 0 computes the revival on ITS local data
+        # shard and the result is broadcast, preserving SPMD determinism.
+        multihost = jax.process_count() > 1
+        if multihost and jax.process_index() != 0:
+            self._bcast_revived_W(np.asarray(jax.device_get(
+                self.params["W"])), revived=0)
+            return
         W = np.array(jax.device_get(self.params["W"]), copy=True)
         norms = np.linalg.norm(W, axis=0) + 1e-9
         C = (W / norms).T @ (W / norms)
@@ -424,11 +456,11 @@ class EM:
         used: set = set()
         revived = 0
         if self._revive_valid_rows is None:
-            valid = np.asarray(jax.device_get(self.data["valid"]))
+            valid = self._local_np(self.data["valid"])
             self._revive_valid_rows = np.flatnonzero(valid > 0)
         rows = self._revive_valid_rows
         if self.reseed_worst_frac > 0.0:
-            F = np.asarray(jax.device_get(self.data["F_prev"]))[rows]
+            F = self._local_np(self.data["F_prev"])[rows]
             k = max(1, int(self.reseed_worst_frac * rows.size))
             rows = rows[np.argsort(F)[:k]]
 
@@ -491,7 +523,7 @@ class EM:
                 used.add(b)
                 return
             idx = int(rows[self._revive_rng.integers(0, rows.size)])
-            sample = np.asarray(jax.device_get(self.data["y"][idx]))
+            sample = self._data_row(idx)
             noise = self._revive_rng.standard_normal(W.shape[0])
             W[:, col] = 0.5 * sample + 0.5 * noise.astype(np.float32)
             self.revival_stats["reseeded"] += 1
@@ -510,9 +542,28 @@ class EM:
                     reinit(h)
                     used.add(h)
                     revived += 1
+        if jax.process_count() > 1:
+            self.revival_stats["revived"] += revived
+            self._bcast_revived_W(W, revived)
+            return
         if revived:
             self.revival_stats["revived"] += revived
             new_W = jnp.asarray(W, jnp.float32)
+            if self.runtime is not None:
+                new_W = self.runtime.replicate(new_W)
+            self.params = dict(self.params, W=new_W)
+
+    def _bcast_revived_W(self, W_host: np.ndarray, revived: int) -> None:
+        """Multi-host revival commit: broadcast rank 0's (possibly revised)
+        W and whether anything fired; every process installs the identical
+        result (a collective — ALL processes must call this together)."""
+        from jax.experimental import multihost_utils
+        flag = np.int32(revived)
+        W_g = multihost_utils.broadcast_one_to_all(
+            np.ascontiguousarray(W_host, np.float32))
+        flag_g = int(multihost_utils.broadcast_one_to_all(flag))
+        if flag_g:
+            new_W = jnp.asarray(np.asarray(W_g), jnp.float32)
             if self.runtime is not None:
                 new_W = self.runtime.replicate(new_W)
             self.params = dict(self.params, W=new_W)
@@ -540,15 +591,20 @@ class EM:
         if self._coact_sample is None:
             rows = self._revive_valid_rows
             if rows is None:
-                valid = np.asarray(jax.device_get(self.data["valid"]))
+                valid = self._local_np(self.data["valid"])
                 rows = self._revive_valid_rows = np.flatnonzero(valid > 0)
             # ceil-stride so the subsample spans the WHOLE dataset (a
             # floor stride kept only a prefix for 65k < n < 131k rows,
             # biasing the blend-split covariance — review r2)
             take = rows[:: max(1, -(-rows.size // 65536))][:65536]
-            self._coact_sample = np.asarray(
-                jax.device_get(self.data["y"][jnp.asarray(take)]),
-                np.float64)
+            if jax.process_count() == 1:
+                self._coact_sample = np.asarray(
+                    jax.device_get(self.data["y"][jnp.asarray(take)]),
+                    np.float64)
+            else:
+                # rank 0's local shard (rows/take are local indices)
+                self._coact_sample = self._local_np(
+                    self.data["y"])[take].astype(np.float64)
         return self._coact_sample
 
     def _maybe_checkpoint(self) -> None:
@@ -559,14 +615,18 @@ class EM:
             from prosper_tpu.io import checkpoint
             # F_prev rides along so a resumed run's Ncut mask matches the
             # uninterrupted trajectory (it ranks by the previous iteration's
-            # free energies — models/base.py design note).  Multi-process:
-            # F_prev spans non-addressable devices and cannot be fetched;
-            # a multihost resume re-derives the one-iteration Ncut lag
-            # (revival is already disabled multi-host for the same reason)
+            # free energies — models/base.py design note).  Multi-process
+            # (VERDICT r2 #10): the global F_prev spans non-addressable
+            # devices, so it is assembled with process_allgather — every
+            # process participates (collective), rank 0 writes.
             extra = {}
             if jax.process_count() == 1:
                 extra["F_prev"] = np.asarray(
                     jax.device_get(self.data["F_prev"]))
+            else:
+                from jax.experimental import multihost_utils
+                extra["F_prev"] = np.asarray(multihost_utils.process_allgather(
+                    self.data["F_prev"], tiled=True))
             if self.revive_duplicates is not None:
                 extra["revive_rng"] = self.revival_rng_state()
                 # revival cadence state: without it, resuming from a

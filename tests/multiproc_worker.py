@@ -20,7 +20,8 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 
-def main(rank: int, nprocs: int, port: int, workdir: str) -> None:
+def main(rank: int, nprocs: int, port: int, workdir: str,
+         mode: str = "basic") -> None:
     from prosper_tpu.parallel.mesh import init_multihost, stride_data
 
     if nprocs > 1:
@@ -49,21 +50,75 @@ def main(rank: int, nprocs: int, port: int, workdir: str) -> None:
     H = params0["W"].shape[1]
 
     model = BSC(D, H, Hprime=4, gamma=3)
-    anneal = LinearAnnealing(12)
-    anneal["T"] = [(0.0, 1.5), (0.6, 1.0)]
-    anneal["anneal_prior"] = False
+
+    def make_anneal():
+        anneal = LinearAnnealing(12)
+        anneal["T"] = [(0.0, 1.5), (0.6, 1.0)]
+        anneal["anneal_prior"] = False
+        if mode == "revive_resume":
+            # exercise the Ncut mask (F_prev-dependent) across the resume
+            anneal["Ncut_factor"] = [(0.0, 0.0), (0.3, 0.0), (0.8, 1.0)]
+        return anneal
 
     rt = MeshRuntime()  # all devices across all processes, axis 'data'
-    data = {
-        "y": y_local.astype(np.float32),
-        "valid": np.ones((n_local,), np.float32),
-        "F_prev": np.zeros((n_local,), np.float32),
-    }
 
+    def make_data():
+        return {
+            "y": y_local.astype(np.float32),
+            "valid": np.ones((n_local,), np.float32),
+            "F_prev": np.zeros((n_local,), np.float32),
+        }
+
+    if mode == "revive_resume":
+        # VERDICT r2 #10: multi-host revival (rank-0-computed, broadcast)
+        # + F_prev checkpointing (process_allgather) must make a resumed
+        # multi-process run trajectory-exact vs the uninterrupted one.
+        revive = (3, 0.2, 0.9, 0.0)  # low threshold so revival definitely fires
+        kw = dict(runtime=rt, seed=5, revive_duplicates=revive,
+                  reseed_worst_frac=0.1)
+        # uninterrupted 12-iteration run
+        em_a = EM(model, make_anneal(), make_data(), params=dict(params0),
+                  **kw)
+        em_a.run()
+        if jax.process_index() == 0:
+            np.savez(wd / "final_full.npz",
+                     **{k: np.asarray(jax.device_get(v))
+                        for k, v in em_a.params.items()})
+        # interrupted run: checkpoint every 5, stop after 7 iterations
+        ckpt = str(wd / "ckpt.h5")
+        em_b = EM(model, make_anneal(), make_data(), params=dict(params0),
+                  checkpoint_path=ckpt, checkpoint_every=5, **kw)
+        for _ in range(7):
+            em_b.step_once()
+        # resume from the checkpoint (the cli.py --resume wiring, inline)
+        from prosper_tpu.io import checkpoint
+        params_r, step, rng_r, extra = checkpoint.restore_full(ckpt)
+        anneal_r = make_anneal()
+        anneal_r.reset(step)
+        data_r = make_data()
+        assert "F_prev" in extra, "multi-host checkpoint must carry F_prev"
+        data_r["F_prev"] = np.ascontiguousarray(
+            extra["F_prev"][first:last]).astype(np.float32)
+        em_c = EM(model, anneal_r, data_r, params=params_r, **kw)
+        em_c.rng = rng_r
+        em_c.restore_revival_rng(extra["revive_rng"])
+        em_c._last_revive = int(extra["revive_last"])
+        em_c.run()
+        if jax.process_index() == 0:
+            np.savez(wd / "final_resumed.npz",
+                     **{k: np.asarray(jax.device_get(v))
+                        for k, v in em_c.params.items()})
+        (wd / f"done_r{rank}.txt").write_text(
+            f"proc={jax.process_index()}/{jax.process_count()} "
+            f"revived={em_a.revival_stats['revived']}\n")
+        return
+
+    data = make_data()
     log = DataLog()
     log.set_handler(("F_mean", "n_used"), StoreToH5, str(wd / "result.h5"))
 
-    em = EM(model, anneal, data, params=params0, runtime=rt, dlog=log, seed=5)
+    em = EM(model, make_anneal(), data, params=params0, runtime=rt,
+            dlog=log, seed=5)
     em.run()
     log.close()
 
@@ -78,4 +133,5 @@ def main(rank: int, nprocs: int, port: int, workdir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+         sys.argv[5] if len(sys.argv) > 5 else "basic")

@@ -57,16 +57,23 @@ def _write_inputs(wd: Path, seed=0):
              pi=np.float32(0.2), sigma=np.float32(1.5))
 
 
-def test_two_process_equivalence(tmp_path):
-    wd2 = tmp_path / "p2"
+import pytest
+
+
+@pytest.mark.parametrize("nprocs", [2, 4])
+def test_multi_process_equivalence(tmp_path, nprocs):
+    """P-process run must match the P=1 run (VERDICT r2 #6 extends the
+    round-2 two-process test to four — SURVEY §4's 'P=1 vs P=4 mpirun
+    equivalence' at its literal process count)."""
+    wdp = tmp_path / f"p{nprocs}"
     wd1 = tmp_path / "p1"
-    wd2.mkdir()
+    wdp.mkdir()
     wd1.mkdir()
-    _write_inputs(wd2)
+    _write_inputs(wdp)
     _write_inputs(wd1)
 
     port = _free_port()
-    procs = [_launch(r, 2, port, wd2) for r in range(2)]
+    procs = [_launch(r, nprocs, port, wdp) for r in range(nprocs)]
     outs = [p.communicate(timeout=420)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"rank {procs.index(p)} failed:\n{out}"
@@ -75,24 +82,60 @@ def test_two_process_equivalence(tmp_path):
     out1 = p1.communicate(timeout=420)[0]
     assert p1.returncode == 0, f"single-process run failed:\n{out1}"
 
-    # both ranks ran their multi-process paths
-    assert (wd2 / "done_r0.txt").exists() and (wd2 / "done_r1.txt").exists()
-    assert "proc=0/2" in (wd2 / "done_r0.txt").read_text()
-    assert "proc=1/2" in (wd2 / "done_r1.txt").read_text()
-    assert "devices=4 local=2" in (wd2 / "done_r0.txt").read_text()
+    # every rank ran its multi-process paths
+    for r in range(nprocs):
+        done = wdp / f"done_r{r}.txt"
+        assert done.exists()
+        assert f"proc={r}/{nprocs}" in done.read_text()
+    assert (f"devices={2 * nprocs} local=2"
+            in (wdp / "done_r0.txt").read_text())
 
     # rank-0-only IO: final params + DataLog H5 written exactly once
-    assert (wd2 / "final_p2.npz").exists()
-    assert (wd2 / "result.h5").exists()
+    assert (wdp / f"final_p{nprocs}.npz").exists()
+    assert (wdp / "result.h5").exists()
 
     import h5py
-    with h5py.File(wd2 / "result.h5", "r") as f:
+    with h5py.File(wdp / "result.h5", "r") as f:
         assert f["F_mean"].shape[0] == 12  # one row per EM iteration
 
-    # P=2 matches P=1 up to collective reduction order
-    f2 = np.load(wd2 / "final_p2.npz")
+    # P=n matches P=1 up to collective reduction order
+    fp = np.load(wdp / f"final_p{nprocs}.npz")
     f1 = np.load(wd1 / "final_p1.npz")
-    assert set(f2.files) == set(f1.files)
+    assert set(fp.files) == set(f1.files)
     for k in f1.files:
-        np.testing.assert_allclose(f2[k], f1[k], rtol=2e-4, atol=2e-5,
-                                   err_msg=f"param {k} diverged P=2 vs P=1")
+        np.testing.assert_allclose(fp[k], f1[k], rtol=2e-4, atol=2e-5,
+                                   err_msg=f"param {k} diverged P={nprocs} vs P=1")
+
+
+def _launch_mode(rank, nprocs, port, wd, mode):
+    return subprocess.Popen(
+        [sys.executable, WORKER, str(rank), str(nprocs), str(port),
+         str(wd), mode],
+        env=_worker_env(), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+
+
+def test_multihost_revival_and_resume_equivalence(tmp_path):
+    """VERDICT r2 #10: multi-host revival (rank-0 sample, broadcast) and
+    F_prev checkpointing (process_allgather) make a resumed 2-process run
+    trajectory-exact vs the uninterrupted one, revivals included."""
+    wd = tmp_path / "rr"
+    wd.mkdir()
+    _write_inputs(wd, seed=3)
+    port = _free_port()
+    procs = [_launch_mode(r, 2, port, wd, "revive_resume") for r in range(2)]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"rank {procs.index(p)} failed:\n{out}"
+
+    # the equivalence must not be vacuous: revival actually fired
+    done0 = (wd / "done_r0.txt").read_text()
+    revived = int(done0.split("revived=")[1])
+    assert revived > 0, f"revival never fired (vacuous test): {done0}"
+
+    full = np.load(wd / "final_full.npz")
+    res = np.load(wd / "final_resumed.npz")
+    assert set(full.files) == set(res.files)
+    for k in full.files:
+        np.testing.assert_allclose(res[k], full[k], rtol=1e-5, atol=1e-5,
+                                   err_msg=f"param {k}: resumed != full")
