@@ -279,10 +279,27 @@ def main():
     # measured: MCA "2.4M" at N=16k vs 6.2M at N=262k, same program)
     run_family("gsc", lambda: GSC(64, 100, 6, 3, chunk=8192), 262144,
                iters=3)
-    run_family("mca", lambda: MCA(64, 100, 6, 3, chunk=8192), 262144,
-               iters=3)
-    run_family("mmca", lambda: MMCA(64, 100, 6, 3, chunk=8192), 262144,
-               iters=3)
+    # max family: fused VMEM winner-lattice kernel (ops/max_pallas.py) vs
+    # the XLA tile path; report both like the headline
+    for name, cls in (("mca", MCA), ("mmca", MMCA)):
+        if not want(name):
+            continue
+        bks = {}
+        for backend in ("pallas", "xla"):
+            try:
+                model = cls(64, 100, 6, 3, chunk=8192, backend=backend)
+                params = model.standard_init(
+                    {"y": np.random.default_rng(2).standard_normal(
+                        (256, model.D)).astype(np.float32)}, seed=4)
+                bks[backend] = _measure_step(model, params, 262144, 3,
+                                             groups=2)
+            except Exception as e:                  # noqa: BLE001
+                print(f"[bench] {name}/{backend} failed: {e!r}",
+                      file=sys.stderr)
+        if bks:
+            families[name] = _family_entry(max(bks.values()))
+            families[name]["backends"] = {k: round(v, 1)
+                                          for k, v in bks.items()}
 
     # mixtures (clustering-scale configs) — completes the matrix
     for mix_name in ("mog", "mop"):

@@ -374,7 +374,7 @@ def main(argv=None) -> int:
     pt.add_argument("--scan", action="store_true",
                     help="run all iterations inside one jit (lax.scan)")
     pt.add_argument("--backend", choices=("xla", "pallas"), default=None,
-                    help="E-step backend for linear models")
+                    help="E-step backend (linear + max families)")
     pt.add_argument("--multihost", action="store_true",
                     help="initialise jax.distributed (run one process per "
                          "host) and mesh over all global devices")

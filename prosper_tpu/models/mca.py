@@ -34,17 +34,24 @@ class MCA(ETModel):
     magnitude: bool = False
 
     def __init__(self, D, H, Hprime, gamma, to_learn=None, chunk=2048,
-                 ncut_current: bool = False):
+                 ncut_current: bool = False, backend: str = "xla"):
         # chunk bounds the (chunk, S, D) winner tile; 2048 keeps it tens of
         # MB at bars/patches-like configs while amortising per-chunk
         # overheads (the old 256 default left 2-3x throughput on the table)
         super().__init__(D, H, Hprime, gamma, to_learn, chunk)
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"backend must be 'xla' or 'pallas', got {backend!r}")
         self.space = states_mod.binary_state_space(Hprime, gamma)
         self.sa = state_arrays_from(self.space)
         #: reference-parity Ncut semantics (same contract as the linear
         #: family): rank the cut by the CURRENT iteration's F via a second
         #: E-step pass while the cut is active
         self.ncut_current = bool(ncut_current)
+        #: "pallas": fused VMEM-resident winner-lattice kernel for the
+        #: hard-winner path (ops/max_pallas.py); the softened-max rho > 0
+        #: window is served by the XLA path behind a lax.cond
+        self.backend = backend
+        self._pallas_interpret = False   # tests flip this to run on CPU
 
     # -- prior helpers --------------------------------------------------------
 
@@ -64,13 +71,42 @@ class MCA(ETModel):
         params = self.noisify(params, sched, rng_noise)
 
         sigma2 = params["sigma"] ** 2
+        # the fused kernel covers the single-device hard-winner path; the
+        # auto-tiler returning 0 means the (S, D, tile) lattice exceeds VMEM
+        # even at the minimum tile, so the XLA formulation stays
+        # (the H/D >= 64 floor mirrors the linear family: tiny toy dims
+        # fail Mosaic layout on chip — interpret-mode tests force past it)
+        use_pallas = (self.backend == "pallas" and state_axis is None
+                      and (self._pallas_interpret
+                           or (self.H >= 64 and self.D >= 64)))
+        if use_pallas:
+            from prosper_tpu.ops.max_pallas import max_auto_tile
+            use_pallas = max_auto_tile(
+                N, self.D, self.H, self.Hprime,
+                self.sa.states.shape[0]) > 0
 
         def estep(weight):
-            return max_et_estep(
-                y, weight, params["W"], sigma2, self._log_odds(params),
-                self.sa, self.Hprime, self.magnitude, sched["beta"],
-                sched["prior_beta"], self.chunk, rho=sched["rho"],
-                state_axis=state_axis, n_state_shards=n_state_shards)
+            def xla():
+                return max_et_estep(
+                    y, weight, params["W"], sigma2, self._log_odds(params),
+                    self.sa, self.Hprime, self.magnitude, sched["beta"],
+                    sched["prior_beta"], self.chunk, rho=sched["rho"],
+                    state_axis=state_axis, n_state_shards=n_state_shards)
+
+            if not use_pallas:
+                return xla()
+
+            def fused():
+                from prosper_tpu.ops.max_pallas import max_et_estep_pallas
+                return max_et_estep_pallas(
+                    y, weight, params["W"], sigma2, self._log_odds(params),
+                    self.sa, self.Hprime, self.magnitude, sched["beta"],
+                    sched["prior_beta"], interpret=self._pallas_interpret)
+
+            # rho is a traced annealing scalar, so the dispatch is a runtime
+            # cond: the softened-max window (rho > 0) runs the XLA branch,
+            # the hard-winner steady state runs the fused kernel
+            return jax.lax.cond(sched["rho"] > 0, xla, fused)
 
         F, sums, logA, logB, N_total = self.run_estep_with_ncut(
             estep, jnp.log(params["pi"]), data, sched, rng_partial,
