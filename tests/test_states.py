@@ -71,6 +71,46 @@ def test_gsc_level_plan_covers_all_states():
         assert total == act.shape[0]
 
 
+def test_gsc_shard_level_arrays_partition_states():
+    """The level-ALIGNED shard layout (state sharding keeping the fast
+    solver, core/gscstep.py) must cover every global state exactly once
+    across shards, mark padding invalid, and agree with the E/EE one-hot
+    gather tensors."""
+    import numpy as np
+
+    from prosper_tpu.core import states as states_mod
+    from prosper_tpu.core.gscstep import _gsc_shard_level_arrays
+
+    for Hp, gamma, P in ((5, 3, 2), (6, 4, 4), (5, 2, 8)):
+        space = states_mod.binary_state_space(Hp, gamma)
+        act = np.asarray(space.states) > 0.5
+        S_loc, levels, st, sv, ab = _gsc_shard_level_arrays(act, P)
+        assert st.shape == (P, S_loc, Hp)
+        assert sv.shape == ab.shape == (P, S_loc)
+        # every shard has identical static level structure by construction;
+        # valid states across shards partition the global enumeration
+        seen = set()
+        for r in range(P):
+            for k in range(S_loc):
+                if sv[r, k] > 0:
+                    key = tuple(np.flatnonzero(st[r, k] > 0.5))
+                    assert key not in seen
+                    seen.add(key)
+                    assert ab[r, k] == len(key)
+        want = {tuple(np.flatnonzero(a)) for a in act}
+        assert seen == want
+        # E tensors reproduce the per-slot one-hots of the states array
+        for m, L_m, E_np, EE_np, sl in levels:
+            assert E_np.shape == (m, P, L_m, Hp)
+            recon = E_np.sum(axis=0)                     # (P, L_m, Hp)
+            np.testing.assert_array_equal(recon, st[:, sl])
+            for i in range(m):
+                for j in range(i + 1):
+                    ee = EE_np[i, j].reshape(P, L_m, Hp, Hp)
+                    np.testing.assert_allclose(
+                        ee, E_np[i][..., :, None] * E_np[j][..., None, :])
+
+
 def test_subset_dp_plan_parents_drop_largest_slot():
     """Every DP-plan child extends its parent by exactly its largest
     active slot (core/maxstep.py)."""
