@@ -269,12 +269,26 @@ def main():
             D, H, 5, m.sa.states.shape[0], K=3), backend_note="pallas")
     # big-S on-chip path (SURVEY §5.7 motivation: S explodes combinatorially;
     # single-chip here, state-sharded on a mesh).  s_block = the online-
-    # logsumexp state-tiled path — the (chunk, S) logits never reach HBM
-    # (2.4x over the materialised path at S=12,564; chunk/s_block swept
-    # on chip 2026-08-18)
-    run_family("tsc_bigs", lambda: TSC(64, 32, 10, 5, chunk=8192,
-                                       s_block=512),
-               65536, iters=3)
+    # logsumexp state-tiled path — the (chunk, S) logits never reach HBM;
+    # backend='pallas' fuses the whole recurrence in VMEM (ops/bigs_pallas)
+    if want("tsc_bigs"):
+        bks = {}
+        for backend in ("pallas", "xla"):
+            try:
+                model = TSC(64, 32, 10, 5, chunk=8192, s_block=512,
+                            backend=backend)
+                params = model.standard_init(
+                    {"y": np.random.default_rng(2).standard_normal(
+                        (256, model.D)).astype(np.float32)}, seed=4)
+                bks[backend] = _measure_step(model, params, 65536, 3,
+                                             groups=2)
+            except Exception as e:                  # noqa: BLE001
+                print(f"[bench] tsc_bigs/{backend} failed: {e!r}",
+                      file=sys.stderr)
+        if bks:
+            families["tsc_bigs"] = _family_entry(max(bks.values()))
+            families["tsc_bigs"]["backends"] = {k: round(v, 1)
+                                                for k, v in bks.items()}
     # batch sizes amortise the relay/dispatch fixed cost (~3 ms/call —
     # measured: MCA "2.4M" at N=16k vs 6.2M at N=262k, same program)
     run_family("gsc", lambda: GSC(64, 100, 6, 3, chunk=8192), 262144,

@@ -319,7 +319,9 @@ def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArr
 def _chunk_estats_bigs(y, w, W, gram, gram_diag, sigma2, log_odds,
                        sa: LinearStateArrays, Hp: int, signed_select: bool,
                        beta, prior_beta, s_block: int, compute_dtype=None,
-                       state_axis=None, n_state_shards: int = 1):
+                       state_axis=None, n_state_shards: int = 1,
+                       pallas_bigs: bool = False,
+                       pallas_interpret: bool = False):
     """Big-S E-statistics for one chunk: S-blocked online logsumexp.
 
     The standard path materialises (C, S) logits; at S ~ 10^4+ the step
@@ -407,42 +409,54 @@ def _chunk_estats_bigs(y, w, W, gram, gram_diag, sigma2, log_odds,
             sl(states_p), sl(outer_p), sl(vcounts_p), sl(absst_p),
             sl(prior), sl(valid))
 
-    xs = (states_p.reshape(nblocks, s_block, Hp),
-          outer_p.reshape(nblocks, s_block, Hp * Hp),
-          vcounts_p.reshape(nblocks, s_block, K),
-          absst_p.reshape(nblocks, s_block),
-          prior.reshape(nblocks, s_block),
-          valid.reshape(nblocks, s_block))
+    if pallas_bigs and not sharded:
+        # fused flash-style kernel (ops/bigs_pallas.py): the (s_block, Ct)
+        # logits tile and the running (max, mass, moment) accumulators stay
+        # in VMEM — the XLA scan below round-trips ~5 (C, s_block) tensors
+        # per block through HBM, which is the measured 3.66 M dp/s roofline
+        from prosper_tpu.ops.bigs_pallas import bigs_multi_pallas
+        (m_b, l_b, m_bt, l_bt, a_abs, a_s, a_ss, a_vc) = bigs_multi_pallas(
+            proj, Gf, states_p, outer_p, vcounts_p, prior, valid, absst_p,
+            inv2s2, beta, prior_beta, s_block, interpret=pallas_interpret)
+    else:
+        xs = (states_p.reshape(nblocks, s_block, Hp),
+              outer_p.reshape(nblocks, s_block, Hp * Hp),
+              vcounts_p.reshape(nblocks, s_block, K),
+              absst_p.reshape(nblocks, s_block),
+              prior.reshape(nblocks, s_block),
+              valid.reshape(nblocks, s_block))
 
-    def body(carry, xb):
-        m, l, m_t, l_t, a_s, a_ss, a_vc, a_abs = carry
-        st_b, ot_b, vc_b, ab_b, pr_b, va_b = xb
-        lik = (2.0 * jnp.dot(proj, st_b.T, preferred_element_type=f32)
-               - jnp.dot(Gf, ot_b.T, preferred_element_type=f32)) * inv2s2
-        logits = beta * lik + prior_beta * pr_b[None, :]
-        logits = jnp.where(va_b[None, :] > 0, logits, neg)
-        m_new = jnp.maximum(m, jnp.max(logits, axis=1))
-        r = jnp.exp(m - m_new)
-        p = jnp.exp(logits - m_new[:, None])
-        l = l * r + jnp.sum(p, axis=1)
-        a_s = a_s * r[:, None] + jnp.dot(p, st_b, preferred_element_type=f32)
-        a_ss = (a_ss * r[:, None]
-                + jnp.dot(p, ot_b, preferred_element_type=f32))
-        a_vc = a_vc * r[:, None] + jnp.dot(p, vc_b, preferred_element_type=f32)
-        a_abs = a_abs * r + jnp.dot(p, ab_b, preferred_element_type=f32)
-        # un-annealed (true) logsumexp for the Q channel — max/mass only
-        logits_t = jnp.where(va_b[None, :] > 0, lik + pr_b[None, :], neg)
-        m_tn = jnp.maximum(m_t, jnp.max(logits_t, axis=1))
-        l_t = (l_t * jnp.exp(m_t - m_tn)
-               + jnp.sum(jnp.exp(logits_t - m_tn[:, None]), axis=1))
-        return (m_new, l, m_tn, l_t, a_s, a_ss, a_vc, a_abs), None
+        def body(carry, xb):
+            m, l, m_t, l_t, a_s, a_ss, a_vc, a_abs = carry
+            st_b, ot_b, vc_b, ab_b, pr_b, va_b = xb
+            lik = (2.0 * jnp.dot(proj, st_b.T, preferred_element_type=f32)
+                   - jnp.dot(Gf, ot_b.T, preferred_element_type=f32)) * inv2s2
+            logits = beta * lik + prior_beta * pr_b[None, :]
+            logits = jnp.where(va_b[None, :] > 0, logits, neg)
+            m_new = jnp.maximum(m, jnp.max(logits, axis=1))
+            r = jnp.exp(m - m_new)
+            p = jnp.exp(logits - m_new[:, None])
+            l = l * r + jnp.sum(p, axis=1)
+            a_s = (a_s * r[:, None]
+                   + jnp.dot(p, st_b, preferred_element_type=f32))
+            a_ss = (a_ss * r[:, None]
+                    + jnp.dot(p, ot_b, preferred_element_type=f32))
+            a_vc = (a_vc * r[:, None]
+                    + jnp.dot(p, vc_b, preferred_element_type=f32))
+            a_abs = a_abs * r + jnp.dot(p, ab_b, preferred_element_type=f32)
+            # un-annealed (true) logsumexp for the Q channel — max/mass only
+            logits_t = jnp.where(va_b[None, :] > 0, lik + pr_b[None, :], neg)
+            m_tn = jnp.maximum(m_t, jnp.max(logits_t, axis=1))
+            l_t = (l_t * jnp.exp(m_t - m_tn)
+                   + jnp.sum(jnp.exp(logits_t - m_tn[:, None]), axis=1))
+            return (m_new, l, m_tn, l_t, a_s, a_ss, a_vc, a_abs), None
 
-    init = (jnp.full((C,), neg), jnp.zeros((C,), f32),
-            jnp.full((C,), neg), jnp.zeros((C,), f32),
-            jnp.zeros((C, Hp), f32), jnp.zeros((C, Hp * Hp), f32),
-            jnp.zeros((C, K), f32), jnp.zeros((C,), f32))
-    (m_b, l_b, m_bt, l_bt, a_s, a_ss, a_vc, a_abs), _ = jax.lax.scan(
-        body, init, xs)
+        init = (jnp.full((C,), neg), jnp.zeros((C,), f32),
+                jnp.full((C,), neg), jnp.zeros((C,), f32),
+                jnp.zeros((C, Hp), f32), jnp.zeros((C, Hp * Hp), f32),
+                jnp.zeros((C, K), f32), jnp.zeros((C,), f32))
+        (m_b, l_b, m_bt, l_bt, a_s, a_ss, a_vc, a_abs), _ = jax.lax.scan(
+            body, init, xs)
 
     # ---- combine the two partial softmaxes (and, sharded, across devices) ---
     M = jnp.maximum(m_a, m_b)
@@ -508,7 +522,8 @@ def linear_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
                     chunk: int = 2048, state_axis=None,
                     n_state_shards: int = 1, compute_dtype=None,
                     collect_phi: bool = False, slot_onehot=None,
-                    s_block: int = 0
+                    s_block: int = 0, pallas_bigs: bool = False,
+                    pallas_interpret: bool = False
                     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Full-shard E-step with chunked online accumulation.
 
@@ -543,7 +558,9 @@ def linear_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
                        prior_beta=prior_beta, s_block=s_block,
                        compute_dtype=compute_dtype,
                        state_axis=state_axis,
-                       n_state_shards=n_state_shards)
+                       n_state_shards=n_state_shards,
+                       pallas_bigs=pallas_bigs,
+                       pallas_interpret=pallas_interpret)
     else:
         # one-hot GEMM gathers are the TPU fast path; fall back to index
         # gathers/scatters only when the (chunk, Hp, H) one-hot would be huge

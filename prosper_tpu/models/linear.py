@@ -64,6 +64,7 @@ class LinearETModel(ETModel):
         self.ncut_current = bool(ncut_current)
         #: e.g. jnp.bfloat16 — throughput mode for the large GEMMs (XLA path)
         self.compute_dtype = compute_dtype
+        self._pallas_interpret = False   # tests flip this to run on CPU
         self.space = states_mod.discrete_state_space(
             Hprime, gamma, values, min_active=min_active)
         self.sa: LinearStateArrays = state_arrays_from(self.space)
@@ -110,8 +111,12 @@ class LinearETModel(ETModel):
         # the fused kernel targets production shapes; tiny toy dims (lane
         # dimensions well under a VREG) fail Mosaic layout, so fall back.
         # Phi learning needs the extra phi_c/phi_M accumulators -> XLA path.
+        # With s_block set, backend='pallas' selects the big-S flash-style
+        # kernel instead (ops/bigs_pallas.py — VERDICT r2 #5).
+        use_pallas_bigs = (self.backend == "pallas" and self.s_block > 0
+                           and state_axis is None and not self.learn_phi)
         use_pallas = (self.backend == "pallas" and state_axis is None
-                      and not self.learn_phi
+                      and not self.learn_phi and self.s_block == 0
                       and self.H >= 64 and self.D >= 64)
 
         def estep(weight):
@@ -134,7 +139,8 @@ class LinearETModel(ETModel):
                 n_state_shards=n_state_shards,
                 compute_dtype=self.compute_dtype,
                 collect_phi=self.learn_phi, slot_onehot=self._slot_onehot,
-                s_block=s_block)
+                s_block=s_block, pallas_bigs=use_pallas_bigs,
+                pallas_interpret=self._pallas_interpret)
 
         # one-pass (lagged) vs reference-semantics (current-F) Ncut — the
         # shared base-class orchestration (models/base.py)
