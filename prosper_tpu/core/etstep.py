@@ -112,7 +112,8 @@ def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArr
                   Hp: int, signed_select: bool, beta, prior_beta,
                   state_axis=None, n_state_shards: int = 1,
                   dense_gather: bool = True, compute_dtype=None,
-                  collect_phi: bool = False, slot_onehot=None):
+                  collect_phi: bool = False, slot_onehot=None,
+                  collect_true: bool = True):
     """E-statistics for one chunk of datapoints.
 
     y : (C, D), w : (C,) accumulation weights (Ncut/partial/padding mask).
@@ -220,24 +221,30 @@ def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArr
     F = logZ + const                                                     # (C,)
 
     # un-annealed truncated log-likelihood (beta = prior_beta = 1): the
-    # temperature-comparable free energy used for logging / monotonicity
-    logits_true = jnp.concatenate(
-        [zero_logit,
-         jnp.where(own_zs > 0,
-                   (lik_single + log_odds[None, None, :]).reshape(C, H * K),
-                   neg),
-         jnp.where(svalid[None, :] > 0, lik_multi + prior_multi[None, :],
-                   neg)], axis=1)
-    m_t = jnp.max(logits_true, axis=1, keepdims=True)
-    if state_axis is not None and n_state_shards > 1:
-        m_t = jax.lax.pmax(m_t, state_axis)
-        Z_t = jax.lax.psum(
-            jnp.sum(jnp.exp(logits_true - m_t), axis=1, keepdims=True),
-            state_axis)
+    # temperature-comparable free energy used for logging / monotonicity.
+    # Statically skipped when the caller knows the schedule is saturated
+    # (beta == prior_beta == 1): F_true == F exactly, and this second
+    # full-width softmax is the dominant VPU cost of the steady state
+    if collect_true:
+        logits_true = jnp.concatenate(
+            [zero_logit,
+             jnp.where(own_zs > 0,
+                       (lik_single + log_odds[None, None, :]).reshape(C, H * K),
+                       neg),
+             jnp.where(svalid[None, :] > 0, lik_multi + prior_multi[None, :],
+                       neg)], axis=1)
+        m_t = jnp.max(logits_true, axis=1, keepdims=True)
+        if state_axis is not None and n_state_shards > 1:
+            m_t = jax.lax.pmax(m_t, state_axis)
+            Z_t = jax.lax.psum(
+                jnp.sum(jnp.exp(logits_true - m_t), axis=1, keepdims=True),
+                state_axis)
+        else:
+            Z_t = jnp.sum(jnp.exp(logits_true - m_t), axis=1, keepdims=True)
+        F_true = ((m_t + jnp.log(Z_t))[:, 0]
+                  - y2 * inv2s2 - log_norm + H * log_p0)
     else:
-        Z_t = jnp.sum(jnp.exp(logits_true - m_t), axis=1, keepdims=True)
-    F_true = ((m_t + jnp.log(Z_t))[:, 0]
-              - y2 * inv2s2 - log_norm + H * log_p0)
+        F_true = F
 
     # ---- sufficient statistics ---------------------------------------------
     q_single = q[:, 1:1 + H * K].reshape(C, H, K)
@@ -321,7 +328,8 @@ def _chunk_estats_bigs(y, w, W, gram, gram_diag, sigma2, log_odds,
                        beta, prior_beta, s_block: int, compute_dtype=None,
                        state_axis=None, n_state_shards: int = 1,
                        pallas_bigs: bool = False,
-                       pallas_interpret: bool = False):
+                       pallas_interpret: bool = False,
+                       collect_true: bool = True):
     """Big-S E-statistics for one chunk: S-blocked online logsumexp.
 
     The standard path materialises (C, S) logits; at S ~ 10^4+ the step
@@ -379,11 +387,13 @@ def _chunk_estats_bigs(y, w, W, gram, gram_diag, sigma2, log_odds,
     m_a = jnp.maximum(zero_logit, jnp.max(logits_single, axis=1))
     l_a = (jnp.exp(zero_logit - m_a)
            + jnp.sum(jnp.exp(logits_single - m_a[:, None]), 1))
-    logits_single_t = (lik_single + log_odds[None, None, :]).reshape(C, H * K)
-    logits_single_t = jnp.where(own_zs > 0, logits_single_t, neg)
-    m_at = jnp.maximum(zero_logit, jnp.max(logits_single_t, axis=1))
-    l_at = (jnp.exp(zero_logit - m_at)
-            + jnp.sum(jnp.exp(logits_single_t - m_at[:, None]), 1))
+    if collect_true:
+        logits_single_t = (lik_single
+                           + log_odds[None, None, :]).reshape(C, H * K)
+        logits_single_t = jnp.where(own_zs > 0, logits_single_t, neg)
+        m_at = jnp.maximum(zero_logit, jnp.max(logits_single_t, axis=1))
+        l_at = (jnp.exp(zero_logit - m_at)
+                + jnp.sum(jnp.exp(logits_single_t - m_at[:, None]), 1))
 
     # ---- multi part: scan over state blocks (this device's slice) ----------
     # pad the GLOBAL state axis so each of n_state_shards contiguous slices
@@ -417,7 +427,8 @@ def _chunk_estats_bigs(y, w, W, gram, gram_diag, sigma2, log_odds,
         from prosper_tpu.ops.bigs_pallas import bigs_multi_pallas
         (m_b, l_b, m_bt, l_bt, a_abs, a_s, a_ss, a_vc) = bigs_multi_pallas(
             proj, Gf, states_p, outer_p, vcounts_p, prior, valid, absst_p,
-            inv2s2, beta, prior_beta, s_block, interpret=pallas_interpret)
+            inv2s2, beta, prior_beta, s_block, interpret=pallas_interpret,
+            collect_true=collect_true)
     else:
         xs = (states_p.reshape(nblocks, s_block, Hp),
               outer_p.reshape(nblocks, s_block, Hp * Hp),
@@ -444,11 +455,16 @@ def _chunk_estats_bigs(y, w, W, gram, gram_diag, sigma2, log_odds,
             a_vc = (a_vc * r[:, None]
                     + jnp.dot(p, vc_b, preferred_element_type=f32))
             a_abs = a_abs * r + jnp.dot(p, ab_b, preferred_element_type=f32)
-            # un-annealed (true) logsumexp for the Q channel — max/mass only
-            logits_t = jnp.where(va_b[None, :] > 0, lik + pr_b[None, :], neg)
-            m_tn = jnp.maximum(m_t, jnp.max(logits_t, axis=1))
-            l_t = (l_t * jnp.exp(m_t - m_tn)
-                   + jnp.sum(jnp.exp(logits_t - m_tn[:, None]), axis=1))
+            # un-annealed (true) logsumexp for the Q channel — max/mass
+            # only; statically dropped in the saturated steady state
+            if collect_true:
+                logits_t = jnp.where(va_b[None, :] > 0,
+                                     lik + pr_b[None, :], neg)
+                m_tn = jnp.maximum(m_t, jnp.max(logits_t, axis=1))
+                l_t = (l_t * jnp.exp(m_t - m_tn)
+                       + jnp.sum(jnp.exp(logits_t - m_tn[:, None]), axis=1))
+            else:
+                m_tn = m_t
             return (m_new, l, m_tn, l_t, a_s, a_ss, a_vc, a_abs), None
 
         init = (jnp.full((C,), neg), jnp.zeros((C,), f32),
@@ -460,22 +476,27 @@ def _chunk_estats_bigs(y, w, W, gram, gram_diag, sigma2, log_odds,
 
     # ---- combine the two partial softmaxes (and, sharded, across devices) ---
     M = jnp.maximum(m_a, m_b)
-    M_t = jnp.maximum(m_at, m_bt)
     if sharded:
         M = jax.lax.pmax(M, state_axis)
-        M_t = jax.lax.pmax(M_t, state_axis)
     Z = l_a * jnp.exp(m_a - M) + l_b * jnp.exp(m_b - M)
-    Z_t = l_at * jnp.exp(m_at - M_t) + l_bt * jnp.exp(m_bt - M_t)
     if sharded:
         Z = jax.lax.psum(Z, state_axis)
-        Z_t = jax.lax.psum(Z_t, state_axis)
     logZ = M + jnp.log(Z)
 
     y2 = jnp.sum(y * y, axis=1)
     log_p0 = -jnp.log1p(jnp.sum(jnp.exp(log_odds)))
     log_norm = 0.5 * D * jnp.log(2.0 * jnp.pi * sigma2)
     F = logZ - beta * (y2 * inv2s2) - beta * log_norm + prior_beta * H * log_p0
-    F_true = (M_t + jnp.log(Z_t)) - y2 * inv2s2 - log_norm + H * log_p0
+    if collect_true:
+        M_t = jnp.maximum(m_at, m_bt)
+        if sharded:
+            M_t = jax.lax.pmax(M_t, state_axis)
+        Z_t = l_at * jnp.exp(m_at - M_t) + l_bt * jnp.exp(m_bt - M_t)
+        if sharded:
+            Z_t = jax.lax.psum(Z_t, state_axis)
+        F_true = (M_t + jnp.log(Z_t)) - y2 * inv2s2 - log_norm + H * log_p0
+    else:
+        F_true = F
 
     # normalized posteriors / moments
     q_single = (jnp.exp(logits_single - M[:, None]) / Z[:, None]
@@ -523,7 +544,8 @@ def linear_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
                     n_state_shards: int = 1, compute_dtype=None,
                     collect_phi: bool = False, slot_onehot=None,
                     s_block: int = 0, pallas_bigs: bool = False,
-                    pallas_interpret: bool = False
+                    pallas_interpret: bool = False,
+                    collect_true: bool = True
                     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Full-shard E-step with chunked online accumulation.
 
@@ -560,7 +582,8 @@ def linear_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
                        state_axis=state_axis,
                        n_state_shards=n_state_shards,
                        pallas_bigs=pallas_bigs,
-                       pallas_interpret=pallas_interpret)
+                       pallas_interpret=pallas_interpret,
+                       collect_true=collect_true)
     else:
         # one-hot GEMM gathers are the TPU fast path; fall back to index
         # gathers/scatters only when the (chunk, Hp, H) one-hot would be huge
@@ -572,7 +595,8 @@ def linear_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
                        prior_beta=prior_beta,
                        state_axis=state_axis, n_state_shards=n_state_shards,
                        dense_gather=dense, compute_dtype=compute_dtype,
-                       collect_phi=collect_phi, slot_onehot=slot_onehot)
+                       collect_phi=collect_phi, slot_onehot=slot_onehot,
+                       collect_true=collect_true)
 
     if N <= chunk:
         return body(y, weight)

@@ -282,7 +282,7 @@ def _gsc_shard_level_arrays(act_np, n_shards: int):
 def _chunk_gsc_estats(y, w, W, gram, gram_diag, sigma2, pi, mu, psi,
                       sa: LinearStateArrays, Hp: int, beta, prior_beta,
                       batch_last: bool = True, state_axis=None,
-                      n_state_shards: int = 1):
+                      n_state_shards: int = 1, collect_true: bool = True):
     C, D = y.shape
     H = W.shape[1]
     S = sa.states.shape[0]
@@ -447,21 +447,25 @@ def _chunk_gsc_estats(y, w, W, gram, gram_diag, sigma2, pi, mu, psi,
     log_1mpi = jnp.log1p(-pi)
     F = logZ + (-beta * (0.5 * y2 * inv_s2) - beta * log_norm
                 + prior_beta * H * log_1mpi)
-    logits_true = jnp.concatenate(
-        [zero_logit,
-         jnp.where(own_zs > 0, lik_single + log_odds, neg_inf),
-         jnp.where(svalid[None, :] > 0, lik_multi + prior_multi[None, :],
-                   neg_inf)], axis=1)
-    m_t = jnp.max(logits_true, axis=1, keepdims=True)
-    if sharded:
-        m_t = jax.lax.pmax(m_t, state_axis)
-        Z_t = jax.lax.psum(
-            jnp.sum(jnp.exp(logits_true - m_t), axis=1, keepdims=True),
-            state_axis)
+    # un-annealed channel — statically dropped when saturated (F_true == F)
+    if collect_true:
+        logits_true = jnp.concatenate(
+            [zero_logit,
+             jnp.where(own_zs > 0, lik_single + log_odds, neg_inf),
+             jnp.where(svalid[None, :] > 0, lik_multi + prior_multi[None, :],
+                       neg_inf)], axis=1)
+        m_t = jnp.max(logits_true, axis=1, keepdims=True)
+        if sharded:
+            m_t = jax.lax.pmax(m_t, state_axis)
+            Z_t = jax.lax.psum(
+                jnp.sum(jnp.exp(logits_true - m_t), axis=1, keepdims=True),
+                state_axis)
+        else:
+            Z_t = jnp.sum(jnp.exp(logits_true - m_t), axis=1, keepdims=True)
+        F_true = ((m_t + jnp.log(Z_t))[:, 0]
+                  - 0.5 * y2 * inv_s2 - log_norm + H * log_1mpi)
     else:
-        Z_t = jnp.sum(jnp.exp(logits_true - m_t), axis=1, keepdims=True)
-    F_true = ((m_t + jnp.log(Z_t))[:, 0]
-              - 0.5 * y2 * inv_s2 - log_norm + H * log_1mpi)
+        F_true = F
 
     q_single = q[:, 1:1 + H]                                            # (C,H)
     q_multi = q[:, 1 + H:]                                              # (C,S)
@@ -631,7 +635,8 @@ def gsc_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
                  sigma2, pi, mu, psi, sa: LinearStateArrays, Hp: int,
                  beta, prior_beta, chunk: int = 1024,
                  batch_last: bool = True, state_axis=None,
-                 n_state_shards: int = 1) -> Tuple[jnp.ndarray, Dict]:
+                 n_state_shards: int = 1,
+                 collect_true: bool = True) -> Tuple[jnp.ndarray, Dict]:
     N, D = y.shape
     H = W.shape[1]
     gram = jnp.dot(W.T, W, preferred_element_type=jnp.float32)
@@ -640,7 +645,8 @@ def gsc_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
     body = partial(_chunk_gsc_estats, W=W, gram=gram, gram_diag=gram_diag,
                    sigma2=sigma2, pi=pi, mu=mu, psi=psi, sa=sa, Hp=Hp,
                    beta=beta, prior_beta=prior_beta, batch_last=batch_last,
-                   state_axis=state_axis, n_state_shards=n_state_shards)
+                   state_axis=state_axis, n_state_shards=n_state_shards,
+                   collect_true=collect_true)
     if N <= chunk:
         return body(y, weight)
     if N % chunk != 0:

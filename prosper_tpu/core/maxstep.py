@@ -156,7 +156,8 @@ def _dp_hard_resp(qa, plan, masks, Hp):
 def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
                       sa: LinearStateArrays, Hp: int, magnitude: bool,
                       beta, prior_beta, rho=0.0, dp_winner: bool = True,
-                      state_axis=None, n_state_shards: int = 1):
+                      state_axis=None, n_state_shards: int = 1,
+                      collect_true: bool = True):
     """E-statistics for one chunk: union {0} ∪ {singletons} ∪ {multi}."""
     C, D = y.shape
     H = W.shape[1]
@@ -256,21 +257,25 @@ def _chunk_max_estats(y, w, W, gram_diag, sigma2, log_odds_scalar,
     F = logZ + (-beta * (y2 * inv2s2) - beta * log_norm
                 + prior_beta * H * log_p0)
 
-    logits_true = jnp.concatenate(
-        [zero_logit,
-         jnp.where(own_zs > 0, lik_single + log_odds_scalar, neg_inf),
-         jnp.where(svalid[None, :] > 0, lik_multi + prior_multi[None, :],
-                   neg_inf)], 1)
-    m_t = jnp.max(logits_true, axis=1, keepdims=True)
-    if state_axis is not None and n_state_shards > 1:
-        m_t = jax.lax.pmax(m_t, state_axis)
-        Z_t = jax.lax.psum(
-            jnp.sum(jnp.exp(logits_true - m_t), axis=1, keepdims=True),
-            state_axis)
+    # un-annealed channel — statically dropped when saturated (F_true == F)
+    if collect_true:
+        logits_true = jnp.concatenate(
+            [zero_logit,
+             jnp.where(own_zs > 0, lik_single + log_odds_scalar, neg_inf),
+             jnp.where(svalid[None, :] > 0, lik_multi + prior_multi[None, :],
+                       neg_inf)], 1)
+        m_t = jnp.max(logits_true, axis=1, keepdims=True)
+        if state_axis is not None and n_state_shards > 1:
+            m_t = jax.lax.pmax(m_t, state_axis)
+            Z_t = jax.lax.psum(
+                jnp.sum(jnp.exp(logits_true - m_t), axis=1, keepdims=True),
+                state_axis)
+        else:
+            Z_t = jnp.sum(jnp.exp(logits_true - m_t), axis=1, keepdims=True)
+        F_true = ((m_t + jnp.log(Z_t))[:, 0]
+                  - y2 * inv2s2 - log_norm + H * log_p0)
     else:
-        Z_t = jnp.sum(jnp.exp(logits_true - m_t), axis=1, keepdims=True)
-    F_true = ((m_t + jnp.log(Z_t))[:, 0]
-              - y2 * inv2s2 - log_norm + H * log_p0)
+        F_true = F
 
     q_zero = q[:, 0]
     q_single = q[:, 1:1 + H]                                            # (C,H)
@@ -465,7 +470,8 @@ def max_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
                  magnitude: bool, beta, prior_beta,
                  chunk: int = 256, rho=0.0,
                  dp_winner: bool = True, state_axis=None,
-                 n_state_shards: int = 1) -> Tuple[jnp.ndarray, Dict]:
+                 n_state_shards: int = 1,
+                 collect_true: bool = True) -> Tuple[jnp.ndarray, Dict]:
     """Full-shard max-superposition E-step, chunked like linear_et_estep.
 
     ``chunk`` bounds the (chunk, S, D) reconstruction tile; pick it so
@@ -481,7 +487,8 @@ def max_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
                    sigma2=sigma2, log_odds_scalar=log_odds_scalar, sa=sa,
                    Hp=Hp, magnitude=magnitude, beta=beta,
                    prior_beta=prior_beta, rho=rho, dp_winner=dp_winner,
-                   state_axis=state_axis, n_state_shards=n_state_shards)
+                   state_axis=state_axis, n_state_shards=n_state_shards,
+                   collect_true=collect_true)
     if N <= chunk:
         return body(y, weight)
     if N % chunk != 0:

@@ -54,13 +54,22 @@ class ETModel:
         self.gamma = int(gamma)
         self.to_learn = tuple(to_learn) if to_learn is not None else self.param_names
         self.chunk = int(chunk)
-        self._jit_step = None
+        self._jit_step = {}      # keyed by the static ``saturated`` flag
 
     # -- subclass contract ----------------------------------------------------
 
     def step_fn(self, params: Dict, data: Dict, sched: Dict, rng,
-                axis_name: Optional[str] = None):
-        """Pure EM step: returns (new_params, F (N,), scalars dict)."""
+                axis_name: Optional[str] = None, saturated: bool = False):
+        """Pure EM step: returns (new_params, F (N,), scalars dict).
+
+        ``saturated`` is a STATIC specialization hint: the caller asserts
+        beta == prior_beta == 1 for this iteration (the post-anneal steady
+        state), letting the E-step skip the separate un-annealed
+        free-energy channel (F_true == F exactly there) — its second
+        full-width softmax is the dominant VPU cost of the hot loop.  The
+        engine selects it per-iteration from the HOST-side schedule values,
+        so results are unchanged (params bit-identical; the logged Q equals
+        F instead of being recomputed)."""
         raise NotImplementedError
 
     def generate_from_hidden(self, params: Dict, s: np.ndarray,
@@ -239,11 +248,12 @@ class ETModel:
 
     # -- driver plumbing ------------------------------------------------------
 
-    def jit_step(self):
-        """Single-device jitted step (lazily compiled, cached)."""
-        if self._jit_step is None:
-            self._jit_step = jax.jit(_partial(self.step_fn, axis_name=None))
-        return self._jit_step
+    def jit_step(self, saturated: bool = False):
+        """Single-device jitted step (lazily compiled, cached per flag)."""
+        if saturated not in self._jit_step:
+            self._jit_step[saturated] = jax.jit(
+                _partial(self.step_fn, axis_name=None, saturated=saturated))
+        return self._jit_step[saturated]
 
     def step(self, params, data, anneal, rng):
         """Convenience: one EM iteration on one device.

@@ -46,7 +46,8 @@ class GSC(ETModel):
         return {"mu": jnp.float32(0.0), "psi": jnp.float32(1.0)}
 
     def step_fn(self, params, data, sched, rng, axis_name: Optional[str] = None,
-                state_axis: Optional[str] = None, n_state_shards: int = 1):
+                state_axis: Optional[str] = None, n_state_shards: int = 1,
+                saturated: bool = False):
         y = data["y"]
         valid = data["valid"]
         N = y.shape[0]
@@ -59,7 +60,8 @@ class GSC(ETModel):
                 y, weight, params["W"], params["sigma"] ** 2, params["pi"],
                 params["mu"], params["psi"], self.sa, self.Hprime,
                 sched["beta"], sched["prior_beta"], self.chunk,
-                state_axis=state_axis, n_state_shards=n_state_shards)
+                state_axis=state_axis, n_state_shards=n_state_shards,
+                collect_true=not saturated)
 
         F, sums, logA, logB, N_total = self.run_estep_with_ncut(
             estep, jnp.log(params["pi"]), data, sched, rng_partial,

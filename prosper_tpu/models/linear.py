@@ -98,7 +98,8 @@ class LinearETModel(ETModel):
     # -- the fused EM step ----------------------------------------------------
 
     def step_fn(self, params, data, sched, rng, axis_name: Optional[str] = None,
-                state_axis: Optional[str] = None, n_state_shards: int = 1):
+                state_axis: Optional[str] = None, n_state_shards: int = 1,
+                saturated: bool = False):
         y = data["y"]
         valid = data["valid"]
         N = y.shape[0]
@@ -127,7 +128,7 @@ class LinearETModel(ETModel):
                 return linear_et_estep_pallas(
                     y, weight, params["W"], sigma2, self.log_odds(params),
                     sa, self.Hprime, self.signed_select, sched["beta"],
-                    sched["prior_beta"])
+                    sched["prior_beta"], collect_true=not saturated)
             # big-S tiling composes with state sharding (round 3: the state
             # slice is tiled in s_block chunks, combined across the axis
             # with the same online-logsumexp) but not with Phi learning
@@ -140,7 +141,8 @@ class LinearETModel(ETModel):
                 compute_dtype=self.compute_dtype,
                 collect_phi=self.learn_phi, slot_onehot=self._slot_onehot,
                 s_block=s_block, pallas_bigs=use_pallas_bigs,
-                pallas_interpret=self._pallas_interpret)
+                pallas_interpret=self._pallas_interpret,
+                collect_true=not saturated)
 
         # one-pass (lagged) vs reference-semantics (current-F) Ncut — the
         # shared base-class orchestration (models/base.py)

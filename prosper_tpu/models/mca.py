@@ -62,7 +62,8 @@ class MCA(ETModel):
     # -- fused EM step --------------------------------------------------------
 
     def step_fn(self, params, data, sched, rng, axis_name: Optional[str] = None,
-                state_axis: Optional[str] = None, n_state_shards: int = 1):
+                state_axis: Optional[str] = None, n_state_shards: int = 1,
+                saturated: bool = False):
         y = data["y"]
         valid = data["valid"]
         N = y.shape[0]
@@ -91,7 +92,8 @@ class MCA(ETModel):
                     y, weight, params["W"], sigma2, self._log_odds(params),
                     self.sa, self.Hprime, self.magnitude, sched["beta"],
                     sched["prior_beta"], self.chunk, rho=sched["rho"],
-                    state_axis=state_axis, n_state_shards=n_state_shards)
+                    state_axis=state_axis, n_state_shards=n_state_shards,
+                    collect_true=not saturated)
 
             if not use_pallas:
                 return xla()
@@ -101,7 +103,8 @@ class MCA(ETModel):
                 return max_et_estep_pallas(
                     y, weight, params["W"], sigma2, self._log_odds(params),
                     self.sa, self.Hprime, self.magnitude, sched["beta"],
-                    sched["prior_beta"], interpret=self._pallas_interpret)
+                    sched["prior_beta"], interpret=self._pallas_interpret,
+                    collect_true=not saturated)
 
             # rho is a traced annealing scalar, so the dispatch is a runtime
             # cond: the softened-max window (rho > 0) runs the XLA branch,

@@ -36,7 +36,7 @@ class MixtureModel:
         self.to_learn = (tuple(to_learn) if to_learn is not None
                          else self.param_names)
         self.chunk = int(chunk)
-        self._jit_step = None
+        self._jit_step = {}
 
     param_names = ("pi",)
 
@@ -54,7 +54,8 @@ class MixtureModel:
 
     # -- shared step ----------------------------------------------------------
 
-    def step_fn(self, params, data, sched, rng, axis_name: Optional[str] = None):
+    def step_fn(self, params, data, sched, rng, axis_name: Optional[str] = None,
+                saturated: bool = False):
         y = data["y"]
         valid = data["valid"]
         N = y.shape[0]
@@ -74,7 +75,10 @@ class MixtureModel:
         Z = jnp.sum(p, axis=1, keepdims=True)
         r = p / Z * weight[:, None]                                   # (N,K)
         F = (m + jnp.log(Z))[:, 0]
-        F_true = jax.nn.logsumexp(ll + log_pi[None, :], axis=1)
+        # saturated (beta == prior_beta == 1): F_true == F, skip the second
+        # logsumexp (static specialization, see ETModel.step_fn)
+        F_true = (F if saturated
+                  else jax.nn.logsumexp(ll + log_pi[None, :], axis=1))
 
         sums = {
             "r": jnp.sum(r, axis=0),                                  # (K,)
@@ -101,11 +105,12 @@ class MixtureModel:
         }
         return new, F, scalars
 
-    def jit_step(self):
+    def jit_step(self, saturated: bool = False):
         from functools import partial
-        if self._jit_step is None:
-            self._jit_step = jax.jit(partial(self.step_fn, axis_name=None))
-        return self._jit_step
+        if saturated not in self._jit_step:
+            self._jit_step[saturated] = jax.jit(
+                partial(self.step_fn, axis_name=None, saturated=saturated))
+        return self._jit_step[saturated]
 
     # -- shared API (generation / init / inference) ---------------------------
 

@@ -13,10 +13,24 @@ logits tile, the running (max, mass) pair, and the (Hp/Hp^2/K) moment
 accumulators never touch HBM; the state tables (states/outer/value-counts)
 stream in via the second grid dimension, datapoints via the first.
 
+MXU-pass shape (round-3 ablation, tools/ablate_bigs.py): a first version
+issued SIX GEMMs per grid step — lik as dot(st, projT) + dot(ot, GfT)
+(contractions 10 and 100) and four separate moment GEMMs with 10/100/K/1-row
+outputs — ~18 mostly-empty 128-wide MXU passes per step, measured only +5%
+over the XLA scan.  This version concatenates operands host-side so each
+step is TWO dense GEMMs:
+
+  lik    = dot(cat, pg)      cat = [2*states | -outer]      (s_block, Hp+Hp^2)
+                             pg  = [projT ; GfT]            (Hp+Hp^2, Ct)
+  moments= dot_general(mom, p, contract s_block)
+                             mom = [states|outer|vcounts|abs] (s_block, Mtot)
+
+i.e. one contraction-(Hp+Hp^2) pass plus ceil(s_block/128) passes with an
+~Mtot/128-full output tile — ~5 passes per step instead of ~18.
+
 Orientation: datapoints ride the LANE dimension (Ct multiple of 128) so
-state-block rows sit on sublanes — the lik GEMM is (s_block, Hp^2) x
-(Hp^2, Ct), contraction ~Hp^2 (near-full MXU occupancy at Hp=10), and the
-moment GEMMs contract over the s_block (sublane) axis.
+state-block rows sit on sublanes; the moment GEMM contracts over the
+s_block (sublane) axis.
 
 The kernel computes ONLY the multi-state recurrence; the zero/singleton
 closed forms, the partial-softmax combine, and the sufficient-statistic
@@ -35,9 +49,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(scal_ref, projT_ref, GfT_ref, st_ref, ot_ref, vc_ref, ex_ref,
-            misc_ref, as_ref, ass_ref, avc_ref,
-            *, s_block: int, Ct: int, Hp: int, K: int):
+def _kernel(scal_ref, pg_ref, cat_ref, mom_ref, ex_ref,
+            misc_ref, acc_ref,
+            *, s_block: int, Ct: int, Mtot: int, collect_true: bool):
     j = pl.program_id(1)
     f32 = jnp.float32
     neg = jnp.float32(-3e38)
@@ -52,23 +66,17 @@ def _kernel(scal_ref, projT_ref, GfT_ref, st_ref, ot_ref, vc_ref, ex_ref,
             [jnp.full((1, Ct), neg, f32), jnp.zeros((1, Ct), f32),
              jnp.full((1, Ct), neg, f32), jnp.zeros((1, Ct), f32),
              jnp.zeros((4, Ct), f32)], axis=0)
-        as_ref[:] = jnp.zeros((Hp, Ct), f32)
-        ass_ref[:] = jnp.zeros((Hp * Hp, Ct), f32)
-        avc_ref[:] = jnp.zeros((K, Ct), f32)
+        acc_ref[:] = jnp.zeros((Mtot, Ct), f32)
 
-    st = st_ref[:]                       # (s_block, Hp)
-    ot = ot_ref[:]                       # (s_block, Hp^2)
-    vc = vc_ref[:]                       # (s_block, K)
-    ex = ex_ref[:]                       # (s_block, 3): prior, valid, absst
-    projT = projT_ref[:]                 # (Hp, Ct)
-    GfT = GfT_ref[:]                     # (Hp^2, Ct)
+    cat = cat_ref[:]                     # (s_block, Hp+Hp^2): [2*st | -ot]
+    mom = mom_ref[:]                     # (s_block, Mtot): [st|ot|vc|abs|0pad]
+    ex = ex_ref[:]                       # (s_block, 2): prior, valid
+    pg = pg_ref[:]                       # (Hp+Hp^2, Ct): [projT ; GfT]
 
     prior = ex[:, 0:1]                   # (s_block, 1)
     valid = ex[:, 1:2]
-    absst = ex[:, 2:3]
 
-    lik = (2.0 * jnp.dot(st, projT, preferred_element_type=f32)
-           - jnp.dot(ot, GfT, preferred_element_type=f32)) * inv2s2
+    lik = jnp.dot(cat, pg, preferred_element_type=f32) * inv2s2
     logits = beta * lik + prior_beta * prior
     logits = jnp.where(valid > 0, logits, neg)        # (s_block, Ct)
 
@@ -77,7 +85,6 @@ def _kernel(scal_ref, projT_ref, GfT_ref, st_ref, ot_ref, vc_ref, ex_ref,
     l_old = misc[1:2, :]
     mt_old = misc[2:3, :]
     lt_old = misc[3:4, :]
-    aabs_old = misc[4:5, :]
 
     m_new = jnp.maximum(m_old, jnp.max(logits, axis=0, keepdims=True))
     r = jnp.exp(m_old - m_new)                        # (1, Ct)
@@ -85,23 +92,24 @@ def _kernel(scal_ref, projT_ref, GfT_ref, st_ref, ot_ref, vc_ref, ex_ref,
     l_new = l_old * r + jnp.sum(p, axis=0, keepdims=True)
 
     dn = (((0,), (0,)), ((), ()))        # contract the s_block (sublane) dim
-    as_ref[:] = as_ref[:] * r + jax.lax.dot_general(
-        st, p, dn, preferred_element_type=f32)        # (Hp, Ct)
-    ass_ref[:] = ass_ref[:] * r + jax.lax.dot_general(
-        ot, p, dn, preferred_element_type=f32)        # (Hp^2, Ct)
-    avc_ref[:] = avc_ref[:] * r + jax.lax.dot_general(
-        vc, p, dn, preferred_element_type=f32)        # (K, Ct)
-    aabs_new = aabs_old * r + jax.lax.dot_general(
-        absst, p, dn, preferred_element_type=f32)     # (1, Ct)
+    acc_ref[:] = acc_ref[:] * r + jax.lax.dot_general(
+        mom, p, dn, preferred_element_type=f32)       # (Mtot, Ct)
 
-    # un-annealed (true) channel: max/mass only
-    logits_t = jnp.where(valid > 0, lik + prior, neg)
-    mt_new = jnp.maximum(mt_old, jnp.max(logits_t, axis=0, keepdims=True))
-    lt_new = (lt_old * jnp.exp(mt_old - mt_new)
-              + jnp.sum(jnp.exp(logits_t - mt_new), axis=0, keepdims=True))
+    # un-annealed (true) channel: max/mass only; statically dropped in the
+    # saturated steady state (beta == prior_beta == 1 -> F_true == F) where
+    # its exp is half the kernel's VPU work
+    if collect_true:
+        logits_t = jnp.where(valid > 0, lik + prior, neg)
+        mt_new = jnp.maximum(mt_old,
+                             jnp.max(logits_t, axis=0, keepdims=True))
+        lt_new = (lt_old * jnp.exp(mt_old - mt_new)
+                  + jnp.sum(jnp.exp(logits_t - mt_new), axis=0,
+                            keepdims=True))
+    else:
+        mt_new, lt_new = mt_old, lt_old
 
     misc_ref[:] = jnp.concatenate(
-        [m_new, l_new, mt_new, lt_new, aabs_new, misc[5:, :]], axis=0)
+        [m_new, l_new, mt_new, lt_new, misc[4:, :]], axis=0)
 
 
 def bigs_multi_pallas(proj: jnp.ndarray, Gf: jnp.ndarray,
@@ -109,7 +117,8 @@ def bigs_multi_pallas(proj: jnp.ndarray, Gf: jnp.ndarray,
                       vcounts_p: jnp.ndarray, prior: jnp.ndarray,
                       valid: jnp.ndarray, absst_p: jnp.ndarray,
                       inv2s2, beta, prior_beta, s_block: int,
-                      tile: int = 512, interpret: bool = False
+                      tile: int = 512, interpret: bool = False,
+                      collect_true: bool = True
                       ) -> Tuple[jnp.ndarray, ...]:
     """Multi-state online-logsumexp recurrence, fused.
 
@@ -128,48 +137,60 @@ def bigs_multi_pallas(proj: jnp.ndarray, Gf: jnp.ndarray,
     f32 = jnp.float32
 
     pad = (-C) % tile
-    projT = jnp.pad(proj, ((0, pad), (0, 0))).T       # (Hp, C+pad)
-    GfT = jnp.pad(Gf, ((0, pad), (0, 0))).T           # (Hp^2, C+pad)
+    # fused lik operand: lik = dot([2*st | -ot], [projT ; GfT]) — one
+    # contraction-(Hp+Hp^2) MXU pass instead of two near-empty ones
+    pg = jnp.concatenate([jnp.pad(proj, ((0, pad), (0, 0))).T,
+                          jnp.pad(Gf, ((0, pad), (0, 0))).T], axis=0)
     Cp = C + pad
     n_dp = Cp // tile
     n_s = S_loc // s_block
 
-    ex = jnp.stack([prior, valid, absst_p], axis=1).astype(f32)  # (S_loc, 3)
+    st = states_p.astype(f32)
+    ot = outer_p.astype(f32)
+    cat = jnp.concatenate([2.0 * st, -ot], axis=1)            # (S_loc, Hp+Hp2)
+    # fused moment operand: one (s_block, Mtot) GEMM accumulates
+    # <s>, <ss^T>, value counts and |s| together; rows pad to a multiple
+    # of 8 (f32 sublane tile) with zeros — they accumulate zeros
+    mom = jnp.concatenate(
+        [st, ot, vcounts_p.astype(f32), absst_p.astype(f32)[:, None]], axis=1)
+    Mraw = Hp + Hp2 + K + 1
+    Mtot = -(-Mraw // 8) * 8
+    mom = jnp.pad(mom, ((0, 0), (0, Mtot - Mraw)))
+
+    ex = jnp.stack([prior, valid], axis=1).astype(f32)        # (S_loc, 2)
     scal = jnp.stack([jnp.asarray(inv2s2, f32), jnp.asarray(beta, f32),
                       jnp.asarray(prior_beta, f32)])[None, :]
 
-    kernel = partial(_kernel, s_block=s_block, Ct=tile, Hp=Hp, K=K)
+    kernel = partial(_kernel, s_block=s_block, Ct=tile, Mtot=Mtot,
+                     collect_true=collect_true)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_dp, n_s),
         in_specs=[
             pl.BlockSpec((1, 3), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((Hp, tile), lambda i, j: (0, i)),       # projT
-            pl.BlockSpec((Hp2, tile), lambda i, j: (0, i)),      # GfT
-            pl.BlockSpec((s_block, Hp), lambda i, j: (j, 0)),    # states
-            pl.BlockSpec((s_block, Hp2), lambda i, j: (j, 0)),   # outer
-            pl.BlockSpec((s_block, K), lambda i, j: (j, 0)),     # vcounts
-            pl.BlockSpec((s_block, 3), lambda i, j: (j, 0)),     # extras
+            pl.BlockSpec((Hp + Hp2, tile), lambda i, j: (0, i)),  # pg
+            pl.BlockSpec((s_block, Hp + Hp2), lambda i, j: (j, 0)),  # cat
+            pl.BlockSpec((s_block, Mtot), lambda i, j: (j, 0)),   # mom
+            pl.BlockSpec((s_block, 2), lambda i, j: (j, 0)),      # extras
         ],
         out_specs=[
-            pl.BlockSpec((8, tile), lambda i, j: (0, i)),        # misc
-            pl.BlockSpec((Hp, tile), lambda i, j: (0, i)),       # a_s
-            pl.BlockSpec((Hp2, tile), lambda i, j: (0, i)),      # a_ss
-            pl.BlockSpec((K, tile), lambda i, j: (0, i)),        # a_vc
+            pl.BlockSpec((8, tile), lambda i, j: (0, i)),         # misc
+            pl.BlockSpec((Mtot, tile), lambda i, j: (0, i)),      # acc
         ],
     )
     out_shape = (
         jax.ShapeDtypeStruct((8, Cp), f32),
-        jax.ShapeDtypeStruct((Hp, Cp), f32),
-        jax.ShapeDtypeStruct((Hp2, Cp), f32),
-        jax.ShapeDtypeStruct((K, Cp), f32),
+        jax.ShapeDtypeStruct((Mtot, Cp), f32),
     )
-    misc, a_s, a_ss, a_vc = pl.pallas_call(
+    misc, acc = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret,
-    )(scal, projT, GfT, states_p.astype(f32), outer_p.astype(f32),
-      vcounts_p.astype(f32), ex)
+    )(scal, pg, cat, mom, ex)
 
+    a_s = acc[0:Hp, :C].T
+    a_ss = acc[Hp:Hp + Hp2, :C].T
+    a_vc = acc[Hp + Hp2:Hp + Hp2 + K, :C].T
+    a_abs = acc[Hp + Hp2 + K, :C]
     return (misc[0, :C], misc[1, :C], misc[2, :C], misc[3, :C],
-            misc[4, :C], a_s[:, :C].T, a_ss[:, :C].T, a_vc[:, :C].T)
+            a_abs, a_s, a_ss, a_vc)

@@ -35,7 +35,7 @@ def _kernel(scal_ref, y_ref, w_ref, W_ref, gram_ref, gdiag_ref,
             log_odds_ref,
             F_ref, xs_ref, ss_ref, s_ref, misc_ref,
             *, Ct: int, D: int, H: int, Hp: int, S: int, K: int,
-            signed_select: bool):
+            signed_select: bool, collect_true: bool):
     i = pl.program_id(0)
     f32 = jnp.float32
 
@@ -118,16 +118,21 @@ def _kernel(scal_ref, y_ref, w_ref, W_ref, gram_ref, gdiag_ref,
         return [ps / Z for ps in ps_k], pm / Z, m + jnp.log(Z)   # logZ (Ct,1)
 
     qs_k, qm, logZ = union_softmax(logits_single_k, logits_multi)
-    _, _, logZ_t = union_softmax(
-        [lik_single_k[k] + log_odds[0, k] for k in range(K)],
-        lik_multi + prior_multi[None, :])
 
     y2 = jnp.sum(y * y, axis=1, keepdims=True)             # (Ct, 1)
     log_p0 = -jnp.log1p(jnp.sum(jnp.exp(log_odds[0])))
     log_norm = 0.5 * D * jnp.log(2.0 * jnp.pi * sigma2)
     F = logZ - beta * (y2 * inv2s2) - beta * log_norm \
         + prior_beta * H * log_p0                          # (Ct, 1)
-    F_true = logZ_t - y2 * inv2s2 - log_norm + H * log_p0
+    if collect_true:
+        # un-annealed channel: a SECOND full union softmax — statically
+        # dropped in the saturated steady state where F_true == F exactly
+        _, _, logZ_t = union_softmax(
+            [lik_single_k[k] + log_odds[0, k] for k in range(K)],
+            lik_multi + prior_multi[None, :])
+        F_true = logZ_t - y2 * inv2s2 - log_norm + H * log_p0
+    else:
+        F_true = F
     F_ref[:] = F
 
     # ---- sufficient statistics (tile-accumulated) -------------------------
@@ -214,7 +219,8 @@ def linear_et_estep_pallas(
         y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray, sigma2,
         log_odds: jnp.ndarray, sa: LinearStateArrays, Hp: int,
         signed_select: bool, beta, prior_beta, tile: int = 0,
-        interpret: bool = False) -> Tuple[jnp.ndarray, Dict]:
+        interpret: bool = False,
+        collect_true: bool = True) -> Tuple[jnp.ndarray, Dict]:
     """Drop-in fused-kernel replacement for core.etstep.linear_et_estep
     (single-device path; no state-axis sharding).  tile=0 -> auto-size."""
     N, D = y.shape
@@ -241,7 +247,7 @@ def linear_et_estep_pallas(
 
     from functools import partial
     kernel = partial(_kernel, Ct=tile, D=D, H=H, Hp=Hp, S=S, K=K,
-                     signed_select=signed_select)
+                     signed_select=signed_select, collect_true=collect_true)
 
     out_shape = (
         jax.ShapeDtypeStruct((N + pad, 1), jnp.float32),  # F

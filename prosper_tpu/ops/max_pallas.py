@@ -41,7 +41,8 @@ from prosper_tpu.core.etstep import LinearStateArrays
 def _kernel(scal_ref, yT_ref, w_ref, W_ref, WT_ref, gdiagT_ref,
             states_ref, statesT_ref, absst_ref,
             F_ref, numerT_ref, denomT_ref, sT_ref, misc_ref,
-            *, Ct: int, D: int, H: int, Hp: int, S: int, magnitude: bool):
+            *, Ct: int, D: int, H: int, Hp: int, S: int, magnitude: bool,
+            collect_true: bool):
     i = pl.program_id(0)
     f32 = jnp.float32
     neg = jnp.float32(-3e38)
@@ -121,15 +122,20 @@ def _kernel(scal_ref, yT_ref, w_ref, W_ref, WT_ref, gdiagT_ref,
 
     q_single, q_multi, q_zero, logZ = union_softmax(logits_single,
                                                     logits_multi)
-    _, _, _, logZ_t = union_softmax(lik_single + log_odds,
-                                    lik_multi + prior_multi)
 
     y2 = jnp.sum(yT * yT, axis=0, keepdims=True)             # (1, Ct)
     log_p0 = -jnp.log1p(jnp.exp(log_odds))
     log_norm = 0.5 * D * jnp.log(2.0 * jnp.pi * sigma2)
     F = logZ - beta * (y2 * inv2s2) - beta * log_norm \
         + prior_beta * H * log_p0                            # (1, Ct)
-    F_true = logZ_t - y2 * inv2s2 - log_norm + H * log_p0
+    if collect_true:
+        # un-annealed channel: a second union softmax over the (S, Ct)
+        # lattice — statically dropped when saturated (F_true == F)
+        _, _, _, logZ_t = union_softmax(lik_single + log_odds,
+                                        lik_multi + prior_multi)
+        F_true = logZ_t - y2 * inv2s2 - log_norm + H * log_p0
+    else:
+        F_true = F
     F_ref[:] = F
 
     # ---- <s> and activity ---------------------------------------------------
@@ -211,7 +217,8 @@ def max_et_estep_pallas(
         y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray, sigma2,
         log_odds_scalar, sa: LinearStateArrays, Hp: int, magnitude: bool,
         beta, prior_beta, tile: int = 0,
-        interpret: bool = False) -> Tuple[jnp.ndarray, Dict]:
+        interpret: bool = False,
+        collect_true: bool = True) -> Tuple[jnp.ndarray, Dict]:
     """Drop-in fused-kernel replacement for core.maxstep.max_et_estep's
     hard-winner path (rho <= 0, single device).  tile=0 -> auto-size."""
     N, D = y.shape
@@ -237,7 +244,7 @@ def max_et_estep_pallas(
                       jnp.asarray(log_odds_scalar, jnp.float32)])[None, :]
 
     kernel = partial(_kernel, Ct=tile, D=D, H=H, Hp=Hp, S=S,
-                     magnitude=magnitude)
+                     magnitude=magnitude, collect_true=collect_true)
     out_shape = (
         jax.ShapeDtypeStruct((1, N + pad), jnp.float32),      # F (dp-last)
         jax.ShapeDtypeStruct((D, H), jnp.float32),            # numerT
