@@ -56,9 +56,7 @@ def _kernel(scal_ref, pg_ref, cat_ref, mom_ref, ex_ref,
     f32 = jnp.float32
     neg = jnp.float32(-3e38)
 
-    inv2s2 = scal_ref[0, 0]
     beta = scal_ref[0, 1]
-    prior_beta = scal_ref[0, 2]
 
     @pl.when(j == 0)
     def _():
@@ -68,17 +66,22 @@ def _kernel(scal_ref, pg_ref, cat_ref, mom_ref, ex_ref,
              jnp.zeros((4, Ct), f32)], axis=0)
         acc_ref[:] = jnp.zeros((Mtot, Ct), f32)
 
-    cat = cat_ref[:]                     # (s_block, Hp+Hp^2): [2*st | -ot]
-    mom = mom_ref[:]                     # (s_block, Mtot): [st|ot|vc|abs|0pad]
-    ex = ex_ref[:]                       # (s_block, 2): prior, valid
-    pg = pg_ref[:]                       # (Hp+Hp^2, Ct): [projT ; GfT]
+    cat = cat_ref[:]                     # (s_block, Hp+Hp^2) bf16: [2st|-ot]
+    mom = mom_ref[:]                     # (s_block, Mtot) bf16: [st|ot|vc|abs]
+    ex = ex_ref[:]                       # (s_block, 2) f32: bias, bias_true
+    pg = pg_ref[:]                       # (Hp+Hp^2, Ct) bf16, inv2s2 folded
 
-    prior = ex[:, 0:1]                   # (s_block, 1)
-    valid = ex[:, 1:2]
+    # bias folds prior_beta*prior AND the padded-state mask (neg) host-side;
+    # bias_t is the same with prior_beta == 1 for the un-annealed channel
+    bias = ex[:, 0:1]                    # (s_block, 1)
 
-    lik = jnp.dot(cat, pg, preferred_element_type=f32) * inv2s2
-    logits = beta * lik + prior_beta * prior
-    logits = jnp.where(valid > 0, logits, neg)        # (s_block, Ct)
+    # bf16 multiply, f32 accumulate — identical to jnp.dot's DEFAULT TPU
+    # precision in the XLA scan (round-1 note: default matmul already
+    # multiplies in bf16).  Keeping the operands f32 forced Mosaic into the
+    # multi-pass full-f32 MXU path, ~6x the passes — measured 1.45 ms of the
+    # 2.8 ms/chunk kernel time at S=12,564.
+    lik = jnp.dot(cat, pg, preferred_element_type=f32)  # inv2s2 pre-folded
+    logits = beta * lik + bias
 
     misc = misc_ref[:]
     m_old = misc[0:1, :]
@@ -93,13 +96,14 @@ def _kernel(scal_ref, pg_ref, cat_ref, mom_ref, ex_ref,
 
     dn = (((0,), (0,)), ((), ()))        # contract the s_block (sublane) dim
     acc_ref[:] = acc_ref[:] * r + jax.lax.dot_general(
-        mom, p, dn, preferred_element_type=f32)       # (Mtot, Ct)
+        mom, p.astype(mom.dtype), dn,
+        preferred_element_type=f32)                   # (Mtot, Ct)
 
     # un-annealed (true) channel: max/mass only; statically dropped in the
     # saturated steady state (beta == prior_beta == 1 -> F_true == F) where
     # its exp is half the kernel's VPU work
     if collect_true:
-        logits_t = jnp.where(valid > 0, lik + prior, neg)
+        logits_t = lik + ex[:, 1:2]
         mt_new = jnp.maximum(mt_old,
                              jnp.max(logits_t, axis=0, keepdims=True))
         lt_new = (lt_old * jnp.exp(mt_old - mt_new)
@@ -118,7 +122,7 @@ def bigs_multi_pallas(proj: jnp.ndarray, Gf: jnp.ndarray,
                       valid: jnp.ndarray, absst_p: jnp.ndarray,
                       inv2s2, beta, prior_beta, s_block: int,
                       tile: int = 512, interpret: bool = False,
-                      collect_true: bool = True
+                      collect_true: bool = True, precise: bool = False
                       ) -> Tuple[jnp.ndarray, ...]:
     """Multi-state online-logsumexp recurrence, fused.
 
@@ -137,27 +141,44 @@ def bigs_multi_pallas(proj: jnp.ndarray, Gf: jnp.ndarray,
     f32 = jnp.float32
 
     pad = (-C) % tile
+    # ``precise`` keeps the GEMM operands f32 (the slow multi-pass MXU
+    # path) — used by the equality tests to verify the kernel's ALGEBRA at
+    # tight tolerance, independent of the bf16 precision policy
+    bf16 = jnp.float32 if precise else jnp.bfloat16
+    neg = jnp.float32(-3e38)
     # fused lik operand: lik = dot([2*st | -ot], [projT ; GfT]) — one
-    # contraction-(Hp+Hp^2) MXU pass instead of two near-empty ones
+    # contraction-(Hp+Hp^2) MXU pass instead of two near-empty ones.
+    # inv2s2 folds into pg host-side; operands cast to bf16 so Mosaic
+    # emits the single-pass bf16-multiply/f32-accumulate MXU form — the
+    # same semantics jnp.dot uses at default TPU precision in the XLA
+    # scan (f32 operands forced the ~6x multi-pass full-f32 path,
+    # measured 1.45 ms of the 2.8 ms/chunk kernel time).
     pg = jnp.concatenate([jnp.pad(proj, ((0, pad), (0, 0))).T,
                           jnp.pad(Gf, ((0, pad), (0, 0))).T], axis=0)
+    pg = (pg * jnp.asarray(inv2s2, f32)).astype(bf16)
     Cp = C + pad
     n_dp = Cp // tile
     n_s = S_loc // s_block
 
     st = states_p.astype(f32)
     ot = outer_p.astype(f32)
-    cat = jnp.concatenate([2.0 * st, -ot], axis=1)            # (S_loc, Hp+Hp2)
+    # state entries and their products are small integers — exact in bf16
+    cat = jnp.concatenate([2.0 * st, -ot], axis=1).astype(bf16)
     # fused moment operand: one (s_block, Mtot) GEMM accumulates
     # <s>, <ss^T>, value counts and |s| together; rows pad to a multiple
-    # of 8 (f32 sublane tile) with zeros — they accumulate zeros
+    # of 16 (bf16 sublane tile) with zeros — they accumulate zeros
     mom = jnp.concatenate(
         [st, ot, vcounts_p.astype(f32), absst_p.astype(f32)[:, None]], axis=1)
     Mraw = Hp + Hp2 + K + 1
-    Mtot = -(-Mraw // 8) * 8
-    mom = jnp.pad(mom, ((0, 0), (0, Mtot - Mraw)))
+    Mtot = -(-Mraw // 16) * 16
+    mom = jnp.pad(mom, ((0, 0), (0, Mtot - Mraw))).astype(bf16)
 
-    ex = jnp.stack([prior, valid], axis=1).astype(f32)        # (S_loc, 2)
+    # the annealed/un-annealed prior terms AND the padded-state mask fold
+    # into two per-state f32 bias columns (one broadcast add per element
+    # in the kernel instead of mul + add + where)
+    bias = jnp.where(valid > 0, jnp.asarray(prior_beta, f32) * prior, neg)
+    bias_t = jnp.where(valid > 0, prior, neg)
+    ex = jnp.stack([bias, bias_t], axis=1).astype(f32)        # (S_loc, 2)
     scal = jnp.stack([jnp.asarray(inv2s2, f32), jnp.asarray(beta, f32),
                       jnp.asarray(prior_beta, f32)])[None, :]
 
