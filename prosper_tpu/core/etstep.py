@@ -329,6 +329,7 @@ def _chunk_estats_bigs(y, w, W, gram, gram_diag, sigma2, log_odds,
                        state_axis=None, n_state_shards: int = 1,
                        pallas_bigs: bool = False,
                        pallas_interpret: bool = False,
+                       pallas_precise: bool = False,
                        collect_true: bool = True):
     """Big-S E-statistics for one chunk: S-blocked online logsumexp.
 
@@ -419,16 +420,19 @@ def _chunk_estats_bigs(y, w, W, gram, gram_diag, sigma2, log_odds,
             sl(states_p), sl(outer_p), sl(vcounts_p), sl(absst_p),
             sl(prior), sl(valid))
 
-    if pallas_bigs and not sharded:
+    if pallas_bigs:
         # fused flash-style kernel (ops/bigs_pallas.py): the (s_block, Ct)
         # logits tile and the running (max, mass, moment) accumulators stay
         # in VMEM — the XLA scan below round-trips ~5 (C, s_block) tensors
-        # per block through HBM, which is the measured 3.66 M dp/s roofline
+        # per block through HBM, which is the measured 3.66 M dp/s roofline.
+        # Composes with state sharding: each device runs the kernel over its
+        # local padded slice; the partial (max, mass, moments) combine across
+        # the axis below exactly as for the scan.
         from prosper_tpu.ops.bigs_pallas import bigs_multi_pallas
         (m_b, l_b, m_bt, l_bt, a_abs, a_s, a_ss, a_vc) = bigs_multi_pallas(
             proj, Gf, states_p, outer_p, vcounts_p, prior, valid, absst_p,
             inv2s2, beta, prior_beta, s_block, interpret=pallas_interpret,
-            collect_true=collect_true)
+            collect_true=collect_true, precise=pallas_precise)
     else:
         xs = (states_p.reshape(nblocks, s_block, Hp),
               outer_p.reshape(nblocks, s_block, Hp * Hp),
@@ -545,6 +549,7 @@ def linear_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
                     collect_phi: bool = False, slot_onehot=None,
                     s_block: int = 0, pallas_bigs: bool = False,
                     pallas_interpret: bool = False,
+                    pallas_precise: bool = False,
                     collect_true: bool = True
                     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Full-shard E-step with chunked online accumulation.
@@ -583,6 +588,7 @@ def linear_et_estep(y: jnp.ndarray, weight: jnp.ndarray, W: jnp.ndarray,
                        n_state_shards=n_state_shards,
                        pallas_bigs=pallas_bigs,
                        pallas_interpret=pallas_interpret,
+                       pallas_precise=pallas_precise,
                        collect_true=collect_true)
     else:
         # one-hot GEMM gathers are the TPU fast path; fall back to index

@@ -65,6 +65,9 @@ class LinearETModel(ETModel):
         #: e.g. jnp.bfloat16 — throughput mode for the large GEMMs (XLA path)
         self.compute_dtype = compute_dtype
         self._pallas_interpret = False   # tests flip this to run on CPU
+        self._pallas_precise = False     # tests: f32 GEMM operands (algebra
+                                         # check at tight tol, vs the bf16
+                                         # production policy)
         self.space = states_mod.discrete_state_space(
             Hprime, gamma, values, min_active=min_active)
         self.sa: LinearStateArrays = state_arrays_from(self.space)
@@ -114,8 +117,10 @@ class LinearETModel(ETModel):
         # Phi learning needs the extra phi_c/phi_M accumulators -> XLA path.
         # With s_block set, backend='pallas' selects the big-S flash-style
         # kernel instead (ops/bigs_pallas.py — VERDICT r2 #5).
+        # (round 3: pallas_bigs composes with state sharding — each shard
+        # runs the fused kernel over its local padded state slice)
         use_pallas_bigs = (self.backend == "pallas" and self.s_block > 0
-                           and state_axis is None and not self.learn_phi)
+                           and not self.learn_phi)
         use_pallas = (self.backend == "pallas" and state_axis is None
                       and not self.learn_phi and self.s_block == 0
                       and self.H >= 64 and self.D >= 64)
@@ -142,6 +147,7 @@ class LinearETModel(ETModel):
                 collect_phi=self.learn_phi, slot_onehot=self._slot_onehot,
                 s_block=s_block, pallas_bigs=use_pallas_bigs,
                 pallas_interpret=self._pallas_interpret,
+                pallas_precise=self._pallas_precise,
                 collect_true=not saturated)
 
         # one-pass (lagged) vs reference-semantics (current-F) Ncut — the

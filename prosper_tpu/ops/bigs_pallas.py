@@ -49,9 +49,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# exp implementations for the softmax recurrence — the kernel is VPU-
+# transcendental-bound at big S (each datapoint evaluates S exps; see the
+# roofline note in bigs_multi_pallas), so the lowering of exp IS the
+# bottleneck.  'exp2' computes exp(x) = exp2(x * log2 e) — exact algebra,
+# potentially cheaper lowering; 'floor' replaces exp with a multiply and
+# exists ONLY to measure the non-transcendental floor in tools/probe_*.
+_LOG2E = 1.4426950408889634
+_EXP_IMPLS = {
+    "exp": jnp.exp,
+    "exp2": lambda x: jnp.exp2(x * _LOG2E),
+    "floor": lambda x: x * 1.0009765625 + 1.0,
+}
+
+
 def _kernel(scal_ref, pg_ref, cat_ref, mom_ref, ex_ref,
             misc_ref, acc_ref,
-            *, s_block: int, Ct: int, Mtot: int, collect_true: bool):
+            *, s_block: int, Ct: int, Mtot: int, collect_true: bool,
+            expfn=jnp.exp):
     j = pl.program_id(1)
     f32 = jnp.float32
     neg = jnp.float32(-3e38)
@@ -90,8 +105,8 @@ def _kernel(scal_ref, pg_ref, cat_ref, mom_ref, ex_ref,
     lt_old = misc[3:4, :]
 
     m_new = jnp.maximum(m_old, jnp.max(logits, axis=0, keepdims=True))
-    r = jnp.exp(m_old - m_new)                        # (1, Ct)
-    p = jnp.exp(logits - m_new)                       # (s_block, Ct)
+    r = expfn(m_old - m_new)                          # (1, Ct)
+    p = expfn(logits - m_new)                         # (s_block, Ct)
     l_new = l_old * r + jnp.sum(p, axis=0, keepdims=True)
 
     dn = (((0,), (0,)), ((), ()))        # contract the s_block (sublane) dim
@@ -106,8 +121,8 @@ def _kernel(scal_ref, pg_ref, cat_ref, mom_ref, ex_ref,
         logits_t = lik + ex[:, 1:2]
         mt_new = jnp.maximum(mt_old,
                              jnp.max(logits_t, axis=0, keepdims=True))
-        lt_new = (lt_old * jnp.exp(mt_old - mt_new)
-                  + jnp.sum(jnp.exp(logits_t - mt_new), axis=0,
+        lt_new = (lt_old * expfn(mt_old - mt_new)
+                  + jnp.sum(expfn(logits_t - mt_new), axis=0,
                             keepdims=True))
     else:
         mt_new, lt_new = mt_old, lt_old
@@ -122,7 +137,8 @@ def bigs_multi_pallas(proj: jnp.ndarray, Gf: jnp.ndarray,
                       valid: jnp.ndarray, absst_p: jnp.ndarray,
                       inv2s2, beta, prior_beta, s_block: int,
                       tile: int = 512, interpret: bool = False,
-                      collect_true: bool = True, precise: bool = False
+                      collect_true: bool = True, precise: bool = False,
+                      exp_impl: str = "exp"
                       ) -> Tuple[jnp.ndarray, ...]:
     """Multi-state online-logsumexp recurrence, fused.
 
@@ -183,7 +199,7 @@ def bigs_multi_pallas(proj: jnp.ndarray, Gf: jnp.ndarray,
                       jnp.asarray(prior_beta, f32)])[None, :]
 
     kernel = partial(_kernel, s_block=s_block, Ct=tile, Mtot=Mtot,
-                     collect_true=collect_true)
+                     collect_true=collect_true, expfn=_EXP_IMPLS[exp_impl])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_dp, n_s),

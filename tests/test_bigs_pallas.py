@@ -41,14 +41,37 @@ def test_bigs_pallas_matches_scan(beta, prior_beta, values):
     # tile inside the kernel pads N=128 up to the 512-lane default
     F1, s1 = jax.jit(lambda: linear_et_estep(
         *args, chunk=N, s_block=16))()
+    # precise=True keeps the kernel's GEMM operands f32 so the ALGEBRA is
+    # verified at tight tolerance; the production bf16-operand policy (the
+    # same semantics jnp.dot uses on TPU by default) is covered by the
+    # loose-tolerance test below and the on-chip backends_match bench field
     F2, s2 = jax.jit(lambda: linear_et_estep(
         *args, chunk=N, s_block=16, pallas_bigs=True,
-        pallas_interpret=True))()
+        pallas_interpret=True, pallas_precise=True))()
     np.testing.assert_allclose(np.asarray(F1), np.asarray(F2),
                                rtol=2e-5, atol=1e-4)
     for k in s1:
         np.testing.assert_allclose(np.asarray(s1[k]), np.asarray(s2[k]),
                                    rtol=5e-5, atol=2e-4, err_msg=k)
+
+
+def test_bigs_pallas_bf16_policy_close():
+    """The production bf16-multiply/f32-accumulate kernel stays within
+    bf16-roundoff of the f32 scan (interpret mode honours the casts)."""
+    D, H, Hp, gamma, N = 16, 24, 6, 4, 128
+    sa, W, y, lo = _setup(D, H, Hp, gamma, N, 11, (1.0,))
+    weight = jnp.ones((N,), jnp.float32)
+    args = (y, weight, W, jnp.float32(1.2), lo, sa, Hp, False,
+            jnp.float32(0.9), jnp.float32(1.0))
+    F1, s1 = jax.jit(lambda: linear_et_estep(*args, chunk=N, s_block=16))()
+    F2, s2 = jax.jit(lambda: linear_et_estep(
+        *args, chunk=N, s_block=16, pallas_bigs=True,
+        pallas_interpret=True))()
+    np.testing.assert_allclose(np.asarray(F1), np.asarray(F2),
+                               rtol=5e-3, atol=5e-3)
+    for k in s1:
+        np.testing.assert_allclose(np.asarray(s1[k]), np.asarray(s2[k]),
+                                   rtol=1e-2, atol=5e-2, err_msg=k)
 
 
 def test_bigs_pallas_model_step_wiring():
@@ -66,6 +89,7 @@ def test_bigs_pallas_model_step_wiring():
     for backend in ("xla", "pallas"):
         m = TSC(D, H, Hp, gamma, chunk=N, s_block=16, backend=backend)
         m._pallas_interpret = True
+        m._pallas_precise = True
         if params is None:
             params = m.standard_init({"y": y}, seed=5)
         data = make_blank_data(y, valid=np.r_[np.ones(80), np.zeros(16)])

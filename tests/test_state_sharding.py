@@ -130,6 +130,32 @@ def test_sblock_composes_with_state_sharding(mesh_shape):
 
 
 @pytest.mark.parametrize("mesh_shape", [(4, 2), (1, 8)])
+def test_bigs_pallas_composes_with_state_sharding(mesh_shape):
+    """Round 3: the FUSED big-S kernel (ops/bigs_pallas.py) also composes
+    with state sharding — each shard runs the kernel (interpret mode here)
+    over its local padded slice; partial (max, mass, moments) combine
+    across the axis.  Must match the replicated un-tiled XLA step."""
+    model = BSC(16, 8, 6, 4, chunk=128)         # S = 50 multi states
+    model_blk = BSC(16, 8, 6, 4, chunk=128, s_block=16, backend="pallas")
+    model_blk._pallas_interpret = True
+    model_blk._pallas_precise = True
+    gt = bars_gt_params(model, intensity=10.0, sigma=1.0)
+    data = model.generate_data(gt, 128, seed=13)
+
+    em1 = EM(model, LinearAnnealing(3), {"y": data["y"]}, seed=1)
+    p1 = em1.run()
+    rt = MeshRuntime(mesh_shape=mesh_shape, axis_names=("data", "state"))
+    em2 = EM(model_blk, LinearAnnealing(3), {"y": data["y"]}, seed=1,
+             runtime=rt)
+    p2 = em2.run()
+    np.testing.assert_allclose(np.asarray(p1["W"]), np.asarray(p2["W"]),
+                               rtol=2e-3, atol=2e-3)
+    F1 = [h["Q_mean"] for h in em1.history]
+    F2 = [h["Q_mean"] for h in em2.history]
+    np.testing.assert_allclose(F1, F2, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (1, 8)])
 def test_max_family_state_sharding_equivalence(mesh_shape):
     """MCA/MMCA state sharding (round 2 — closes the 'linear family only'
     partial): sharded shards use the per-state winner loop on their slice;

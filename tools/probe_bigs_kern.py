@@ -67,24 +67,42 @@ def main():
     prior = vcounts_p @ log_odds
     valid = (jnp.arange(S_pad) < S).astype(jnp.float32)
 
-    variants = [(512, False), (1024, False), (512, True)]
+    # (tile, collect_true, exp_impl, s_block) — 'floor' replaces exp with a
+    # multiply (measures the VPU-transcendental share: ~5%, NOT the wall);
+    # the s_block sweep measures per-grid-step overhead amortisation
+    # (400 steps at s_block=512 vs 112 at 2048)
+    variants = [(512, False, "exp", 512), (512, False, "exp", 1024),
+                (512, False, "exp", 2048), (1024, False, "exp", 1024)]
     if len(sys.argv) > 1:
-        variants = [(int(a.split(":")[0]), bool(int(a.split(":")[1])))
-                    for a in sys.argv[1:]]
-    for tile, ct in variants:
-            def kern(proj, Gf, tile=tile, ct=ct):
-                return bigs_multi_pallas(proj, Gf, states_p, outer_p,
-                                         vcounts_p, prior, valid, absst_p,
-                                         0.5, 0.9, 0.9, S_BLOCK,
-                                         tile=tile, collect_true=ct)
+        variants = []
+        for a in sys.argv[1:]:
+            parts = a.split(":")
+            variants.append((int(parts[0]), bool(int(parts[1])),
+                             parts[2] if len(parts) > 2 else "exp",
+                             int(parts[3]) if len(parts) > 3 else S_BLOCK))
+    for tile, ct, impl, sblk in variants:
+            S_pad2 = -(-S // sblk) * sblk
+            p2 = S_pad2 - S_pad
+            def kern(proj, Gf, tile=tile, ct=ct, impl=impl, sblk=sblk,
+                     p2=p2):
+                pad2 = lambda a: (jnp.pad(a, ((0, p2),) + ((0, 0),) *  # noqa: E731
+                                          (a.ndim - 1)) if p2 > 0
+                                  else a[:S_pad2] if p2 < 0 else a)
+                return bigs_multi_pallas(
+                    proj, Gf, pad2(states_p), pad2(outer_p),
+                    pad2(vcounts_p), pad2(prior),
+                    pad2(valid) if p2 <= 0 else jnp.pad(valid, (0, p2)),
+                    pad2(absst_p), 0.5, 0.9, 0.9, sblk,
+                    tile=tile, collect_true=ct, exp_impl=impl)
             try:
                 t = timeit(jax.jit(kern), proj, Gf)
-                print(f"pallas tile={tile:4d} true={int(ct)}: "
-                      f"{t*1e3:7.2f} ms/chunk ({C/t/1e6:5.2f} M dp/s)",
-                      flush=True)
+                print(f"pallas tile={tile:4d} true={int(ct)} {impl:5s} "
+                      f"sblk={sblk:4d}: {t*1e3:7.2f} ms/chunk "
+                      f"({C/t/1e6:5.2f} M dp/s)", flush=True)
             except Exception as e:  # noqa: BLE001
-                print(f"pallas tile={tile:4d} true={int(ct)}: FAILED "
-                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+                print(f"pallas tile={tile:4d} true={int(ct)} {impl:5s} "
+                      f"sblk={sblk:4d}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
 
 
 if __name__ == "__main__":
