@@ -104,6 +104,37 @@ def linear_flops_per_dp(Dd, Hh, Hhp, S, K=1):
     return necessary + gather, necessary
 
 
+def gsc_flops_per_dp(Dd, Hh, Hhp, S):
+    """(raw, useful) FLOPs/datapoint of the GSC E-step (analytic estimate,
+    round 4 / VERDICT r3 #4).  Dominant terms: the selection + xs GEMMs
+    (2DH each) and the per-state padded slab systems — an (Hp x Hp)
+    Cholesky (Hp^3/3 MACs) plus triangular solves / logdet / quadratic
+    forms (~5 Hp^2) per enumerated support.  raw adds the one-hot Gram
+    gather GEMMs (same formulation as the linear family)."""
+    useful = 2 * (2 * Dd * Hh) + S * (Hhp ** 3 // 3 + 5 * Hhp * Hhp)
+    gather = 2 * 2 * Hhp * Hh * Hh
+    return useful + gather, useful
+
+
+def max_flops_per_dp(Dd, Hh, Hhp, S):
+    """(raw, useful) FLOPs/datapoint of the MCA/MMCA E-step (analytic
+    estimate).  The max superposition admits no Gram shortcut, so the
+    (S, D) winner tile IS the work: ~1 op/state/dim for the subset-lattice
+    DP max, ~3 for the residual log-joint, ~3 for the responsibility /
+    suff-stat accumulation — plus the selection and xs GEMMs.  raw adds
+    the W-candidate gather and winner-scatter one-hot GEMMs."""
+    useful = 2 * (2 * Dd * Hh) + 7 * S * Dd
+    gather = 2 * 2 * Hhp * Hh * Dd
+    return useful + gather, useful
+
+
+def mix_flops_per_dp(Dd, K):
+    """(raw, useful) FLOPs/datapoint of a mixture EM step: the (N,K)
+    log-likelihood GEMM (2DK) plus the two (K,D) suff-stat GEMMs."""
+    useful = 3 * (2 * Dd * K)
+    return useful, useful
+
+
 def _measure_step(model, params, N, iters, groups=3, data_tf=None):
     """Best-of-groups EM-step throughput with forced host sync."""
     import jax
@@ -279,6 +310,12 @@ def main():
     # logsumexp state-tiled path — the (chunk, S) logits never reach HBM;
     # backend='pallas' fuses the whole recurrence in VMEM (ops/bigs_pallas)
     if want("tsc_bigs"):
+        # N=524288 (64 chunks per step call): the round-4 device trace
+        # (tools/profile_bigs.py) measured the big-S step at ~0.73 ms
+        # device per 8192-chunk (11 M dp/s) while the wall number at
+        # N=65536 was dominated by this environment's per-dispatch relay
+        # cost — the production regime (1e6 datapoints/iteration) chains
+        # 122+ chunks per dispatch, which this batch size approximates.
         bks = {}
         for backend in ("pallas", "xla"):
             try:
@@ -287,7 +324,7 @@ def main():
                 params = model.standard_init(
                     {"y": np.random.default_rng(2).standard_normal(
                         (256, model.D)).astype(np.float32)}, seed=4)
-                bks[backend] = _measure_step(model, params, 65536, 3,
+                bks[backend] = _measure_step(model, params, 524288, 2,
                                              groups=2)
             except Exception as e:                  # noqa: BLE001
                 print(f"[bench] tsc_bigs/{backend} failed: {e!r}",
@@ -297,41 +334,63 @@ def main():
             families["tsc_bigs"]["backends"] = {k: round(v, 1)
                                                 for k, v in bks.items()}
     # batch sizes amortise the relay/dispatch fixed cost (~3 ms/call —
-    # measured: MCA "2.4M" at N=16k vs 6.2M at N=262k, same program)
-    run_family("gsc", lambda: GSC(64, 100, 6, 3, chunk=8192), 262144,
-               iters=3)
-    # max family: fused VMEM winner-lattice kernel (ops/max_pallas.py) vs
-    # the XLA tile path; report both like the headline
+    # measured: MCA "2.4M" at N=16k vs 6.2M at N=262k, same program).
+    # Round 4 (VERDICT r3 #4): GSC runs the PATCHES-SCALE config like the
+    # linear families (apples-to-apples matrix) with MFU fields; the old
+    # D=64 H=100 config stays as gsc_small for cross-round continuity.
+    run_family("gsc", lambda: GSC(D, H, 6, 3, chunk=CHUNK), N_TPU,
+               iters=3, flops=lambda m: gsc_flops_per_dp(
+                   D, H, 6, m.sa.states.shape[0]))
+    run_family("gsc_small", lambda: GSC(64, 100, 6, 3, chunk=8192), 262144,
+               iters=3, flops=lambda m: gsc_flops_per_dp(
+                   64, 100, 6, m.sa.states.shape[0]))
+    # max family at the same patches-scale config (round 4): fused VMEM
+    # winner-lattice kernel (ops/max_pallas.py) vs the XLA tile path
     for name, cls in (("mca", MCA), ("mmca", MMCA)):
         if not want(name):
             continue
         bks = {}
+        model = None
         for backend in ("pallas", "xla"):
             try:
-                model = cls(64, 100, 6, 3, chunk=8192, backend=backend)
+                model = cls(D, H, 6, 3, chunk=4096, backend=backend)
                 params = model.standard_init(
                     {"y": np.random.default_rng(2).standard_normal(
                         (256, model.D)).astype(np.float32)}, seed=4)
-                bks[backend] = _measure_step(model, params, 262144, 3,
+                bks[backend] = _measure_step(model, params, 131072, 3,
                                              groups=2)
             except Exception as e:                  # noqa: BLE001
                 print(f"[bench] {name}/{backend} failed: {e!r}",
                       file=sys.stderr)
         if bks:
-            families[name] = _family_entry(max(bks.values()))
+            families[name] = _family_entry(
+                max(bks.values()),
+                max_flops_per_dp(D, H, 6, model.sa.states.shape[0]))
             families[name]["backends"] = {k: round(v, 1)
                                           for k, v in bks.items()}
+    # old D=64 H=100 max-family config (cross-round continuity; the fused
+    # winner-lattice kernel fits VMEM here — at the patches config the
+    # (S, D)-per-lane lattice exceeds it and the XLA path serves)
+    for name, cls in (("mca_small", MCA), ("mmca_small", MMCA)):
+        run_family(
+            name, lambda cls=cls: cls(64, 100, 6, 3, chunk=8192,
+                                      backend="pallas"),
+            262144, iters=3,
+            flops=lambda m: max_flops_per_dp(64, 100, 6,
+                                             m.sa.states.shape[0]),
+            backend_note="pallas")
 
-    # mixtures (clustering-scale configs) — completes the matrix
+    # mixtures at clustering scale matching the patches dims (round 4:
+    # D=256, K=300 — same data dim / component count as the ET matrix)
     for mix_name in ("mog", "mop"):
         if not want(mix_name):
             continue
         try:
             from prosper_tpu.models.mixtures import MoG, MoP
-            model = (MoG(D=64, K=32, chunk=65536) if mix_name == "mog"
-                     else MoP(D=64, K=32, chunk=65536))
+            model = (MoG(D=D, K=H, chunk=65536) if mix_name == "mog"
+                     else MoP(D=D, K=H, chunk=65536))
             y0 = np.random.default_rng(5).standard_normal(
-                (1024, 64)).astype(np.float32)
+                (1024, D)).astype(np.float32)
             if mix_name == "mop":
                 y0 = np.abs(np.floor(y0 * 3)).astype(np.float32)  # counts
             params = model.standard_init({"y": y0}, seed=6)
@@ -339,7 +398,7 @@ def main():
                   if mix_name == "mop" else None)
             families[mix_name] = _family_entry(
                 _measure_step(model, params, 524288, 3, groups=2,
-                              data_tf=tf))
+                              data_tf=tf), mix_flops_per_dp(D, H))
         except Exception as e:                      # noqa: BLE001
             print(f"[bench] {mix_name} failed: {e!r}", file=sys.stderr)
 

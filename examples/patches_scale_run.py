@@ -31,7 +31,8 @@ def planted_dictionary(D, H, active_pixels=8, intensity=10.0, seed=0):
 def main(N=1_000_000, D=256, H=300, Hp=8, gamma=4, iters=120, seed=0,
          backend="xla", scanned=True, revive=(10, 0.85, 0.75, 0.1),
          reseed_worst_frac=0.02, refine_gamma=5, refine_iters=40,
-         split_norm_frac=1.5, split_coact=True, save_params=None):
+         split_norm_frac=1.5, split_coact=True, save_params=None,
+         final_split_sweeps=2, polish_iters=15):
     # defaults = the measured-best recovery protocol (ROUND2.md): revival
     # with 0.85 duplicate threshold, worst-F re-seeding, support-size-guided
     # co-activation blend splitting, and a gamma=5 warm-start refinement
@@ -90,6 +91,42 @@ def main(N=1_000_000, D=256, H=300, Hp=8, gamma=4, iters=120, seed=0,
         print(f"[patches] gamma={refine_gamma} refinement "
               f"({refine_iters} iters): recovered {rec}/{H} columns; "
               f"revival={em2.revival_stats}")
+
+    # round 4 (VERDICT r3 #5): the residual 3-6 misses are BLEND columns
+    # that the online splitter never reaches (it only fires when revival
+    # frees a column; at convergence blends outnumber freed columns).
+    # The offline sweep splits every diagnosed blend into (blend col,
+    # donor col) directly — donors = weaker duplicates + dead + junk-wide
+    # columns — then a short warm-start polish snaps the halves onto atoms
+    # and surfaces fresh duplicates, which the NEXT sweep converts into
+    # donors; iterate until no splits fire.
+    if final_split_sweeps:
+        import jax.numpy as jnp
+        from prosper_tpu.data.diagnosis import split_blend_sweep
+
+        stride = max(1, N // 65536)
+        Ysample = np.asarray(data["y"][::stride][:65536], np.float64)
+        pmodel = BSC(D, H, Hp, max(refine_gamma, gamma), chunk=model.chunk,
+                     backend=backend)
+        for it in range(final_split_sweeps):
+            out = split_blend_sweep(np.asarray(params["W"]), Ysample)
+            if not out["splits"]:
+                print(f"[patches] split sweep {it}: no blends left")
+                break
+            params = dict(params, W=jnp.asarray(out["W"]))
+            anneal3 = LinearAnnealing(polish_iters)
+            anneal3["T"] = 1.0
+            em3 = EM(pmodel, anneal3, padded, seed=seed + 5 + it,
+                     params=params, revive_duplicates=revive,
+                     reseed_worst_frac=reseed_worst_frac,
+                     split_norm_frac=split_norm_frac,
+                     split_coact=split_coact)
+            params = em3.run_scanned() if scanned else em3.run()
+            _, cosines = cosine_match(np.asarray(params["W"]), gt["W"])
+            rec = int((cosines > 0.8).sum())
+            print(f"[patches] split sweep {it}: "
+                  f"{len(out['splits'])} splits + {polish_iters}-iter "
+                  f"polish -> recovered {rec}/{H}", flush=True)
     if save_params:
         np.savez(save_params, W=np.asarray(params["W"]), gtW=gt["W"],
                  cosines=cosines)

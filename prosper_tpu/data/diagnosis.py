@@ -135,6 +135,99 @@ def diagnose_recovery(W_learned: np.ndarray, W_true: np.ndarray,
             "missed_classes": missed_classes, "stats": stats}
 
 
+def split_blend_sweep(W: np.ndarray, Y: np.ndarray,
+                      support_factor: float = 1.5,
+                      junk_support_factor: float = 3.0,
+                      dup_threshold: float = 0.85,
+                      dead_norm_frac: float = 0.1,
+                      support_frac: float = 0.25,
+                      contrast_threshold: float = 0.22) -> Dict:
+    """Offline blend-split sweep over a CONVERGED dictionary (round 4,
+    VERDICT r3 #5).
+
+    Diagnosis of the 3-6 atom recovery tail (tools/patches_seed2_diag.npz,
+    ROUND4.md): every residual miss is a *blend* column fusing two atoms
+    (support ~2x median, two moderate gt-cosines), while the free capacity
+    sits in junk columns (support >= ~3-4x median, no clean structure) and
+    weaker duplicates.  The ONLINE splitter (EM.revive_duplicates +
+    split_coact) only fires when revival frees a column, so at convergence
+    blends outnumber the split opportunities.  This sweep fixes that
+    directly, with NO ground truth:
+
+      1. donors = weaker member of each duplicate pair + dead columns;
+      2. blend candidates = columns with support >= support_factor x
+         median, tried through ``coactivation_split`` (the data decides:
+         a clean two-group co-activation structure == a real blend);
+      3. candidates that FAIL the split and have support >=
+         junk_support_factor x median are junk -> appended to donors;
+      4. each successful split writes one part over the blend column and
+         one over a donor.
+
+    Returns {"W": new (D, H) array (a copy), "splits": [(blend_col,
+    donor_col)], "donors_left": [...], "failed": [...]}.
+    Run a short warm-start EM polish afterwards so the M-step rescales
+    the split halves (examples/patches_scale_run.py final stage).
+    """
+    from prosper_tpu.engine.em import coactivation_split
+
+    W = np.array(W, np.float64, copy=True)
+    st = dictionary_stats(W, support_frac=support_frac)
+    norms, support = st["norms"], st["support"]
+    med_sup = max(st["median_support"], 1.0)
+
+    donors: list = []
+    used: set = set()
+    coh = st["coherence"]
+    for i in range(W.shape[1]):
+        for j in range(i + 1, W.shape[1]):
+            if coh[i, j] > dup_threshold:
+                weaker = j if norms[i] >= norms[j] else i
+                if weaker not in used:
+                    donors.append(weaker)
+                    used.add(weaker)
+    for h in np.flatnonzero(norms < dead_norm_frac * st["median_norm"]):
+        if int(h) not in used:
+            donors.append(int(h))
+            used.add(int(h))
+
+    # support BAND (round-4 calibration on seed 2): true two-atom blends
+    # sit at ~1.6-1.9x the median support; columns at >= junk_support_factor
+    # x median are unstructured junk — they sometimes pass the coact split
+    # spuriously, and splitting them burns donors, so they go STRAIGHT to
+    # the donor pool (measured: splitting them cost 297 -> 291).  Split
+    # candidates are tried ascending support (closest to the 2x blend
+    # signature first) so true blends claim donors before wider columns.
+    for h in np.flatnonzero(support >= junk_support_factor * med_sup):
+        if int(h) not in used:
+            donors.append(int(h))
+            used.add(int(h))
+    cands = [int(h) for h in np.argsort(support)
+             if support_factor * med_sup <= support[h]
+             < junk_support_factor * med_sup and int(h) not in used]
+    # contrast gate 0.22 (vs 0.30 online): the support band above already
+    # excludes single atoms, and the seed-2 diagnosis (ROUND4.md) measured
+    # true blends at contrast 0.26-0.31
+    splits_pending, failed = [], []
+    for h in cands:
+        parts = coactivation_split(W[:, h], Y,
+                                   contrast_threshold=contrast_threshold)
+        if parts is None:
+            failed.append(h)
+        else:
+            splits_pending.append((h, parts))
+
+    splits = []
+    for h, (w1, w2) in splits_pending:
+        if not donors:
+            break
+        d = donors.pop(0)
+        W[:, h] = w1
+        W[:, d] = w2
+        splits.append((h, d))
+    return {"W": W.astype(np.float32), "splits": splits,
+            "donors_left": donors, "failed": failed}
+
+
 def format_report(report: Dict, max_rows: int = 20) -> str:
     """Human-readable summary of a `diagnose_recovery` report."""
     st = report["stats"]

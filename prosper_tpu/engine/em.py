@@ -27,7 +27,8 @@ from prosper_tpu.models.base import make_blank_data, sched_from_anneal
 
 def coactivation_split(w_b: np.ndarray, Y: np.ndarray,
                        support_frac: float = 0.25,
-                       corr_frac: float = 0.35):
+                       corr_frac: float = 0.35,
+                       contrast_threshold: float = 0.3):
     """Split a suspected blend column into its two constituent atoms.
 
     Diagnosis (ROUND1.md): at the patches scale the stable failures are
@@ -74,7 +75,11 @@ def coactivation_split(w_b: np.ndarray, Y: np.ndarray,
     cross = float(R[np.ix_(m1, ~m1)].mean())
     within_mask = (np.outer(m1, m1) | np.outer(~m1, ~m1)) & off
     within = float(R[within_mask].mean())
-    if within - cross < 0.3:
+    # threshold calibrated online at 0.3; the OFFLINE sweep
+    # (data/diagnosis.py::split_blend_sweep) passes 0.22 — its support
+    # pre-gate already excludes single atoms, and the round-4 seed-2
+    # diagnosis measured true blends at contrast 0.26-0.31
+    if within - cross < contrast_threshold:
         return None
     w1 = np.zeros_like(w_b)
     w2 = np.zeros_like(w_b)

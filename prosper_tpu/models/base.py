@@ -141,6 +141,21 @@ class ETModel:
 
     # -- shared jitted-decoder cache (the serving path) -----------------------
 
+    #: ``inference(dense_states=None)`` auto-selects the compact layout
+    #: once the dense (N, top_L, H) tensor would exceed this many bytes —
+    #: at serving scale the dense construction is layout-hostile and ~1.9x
+    #: slower (BASELINE.md round-3 decode trace; VERDICT r3 #8), while for
+    #: small/interactive batches the dense tensor is the convenient API.
+    DENSE_STATES_AUTO_BYTES: int = 128 * 1024 * 1024
+
+    def resolve_dense_states(self, N: int, top_L: int, dense_states):
+        """Resolve the tri-state ``dense_states`` argument (None = auto by
+        output size).  Compact output is losslessly densifiable via
+        ``core.etstep.densify_top_states``."""
+        if dense_states is None:
+            return (N * top_L * self.H * 4) <= self.DENSE_STATES_AUTO_BYTES
+        return bool(dense_states)
+
     def _cached_infer(self, key, builder, y, params, beta, prior_beta,
                       runtime=None):
         """jit the posterior decoder once per (family, top_L, chunk) — a

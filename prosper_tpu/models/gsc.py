@@ -45,31 +45,52 @@ class GSC(ETModel):
     def _extra_init(self, y, rng):
         return {"mu": jnp.float32(0.0), "psi": jnp.float32(1.0)}
 
+    def log_pi_active(self, params):
+        return jnp.log(params["pi"])
+
+    def estep_sums(self, params, y, weight, sched, saturated: bool = False,
+                   state_axis: Optional[str] = None, n_state_shards: int = 1):
+        """Family E-step over one device-resident block: (F, local sums).
+        Shared by ``step_fn`` and engine/stream.py (round 4)."""
+        return gsc_et_estep(
+            y, weight, params["W"], params["sigma"] ** 2, params["pi"],
+            params["mu"], params["psi"], self.sa, self.Hprime,
+            sched["beta"], sched["prior_beta"], self.chunk,
+            state_axis=state_axis, n_state_shards=n_state_shards,
+            collect_true=not saturated)
+
     def step_fn(self, params, data, sched, rng, axis_name: Optional[str] = None,
                 state_axis: Optional[str] = None, n_state_shards: int = 1,
                 saturated: bool = False):
         y = data["y"]
-        valid = data["valid"]
-        N = y.shape[0]
 
         rng_noise, rng_partial = jax.random.split(rng)
         params = self.noisify(params, sched, rng_noise)
 
         def estep(weight):
-            return gsc_et_estep(
-                y, weight, params["W"], params["sigma"] ** 2, params["pi"],
-                params["mu"], params["psi"], self.sa, self.Hprime,
-                sched["beta"], sched["prior_beta"], self.chunk,
-                state_axis=state_axis, n_state_shards=n_state_shards,
-                collect_true=not saturated)
+            return self.estep_sums(params, y, weight, sched, saturated,
+                                   state_axis, n_state_shards)
 
         F, sums, logA, logB, N_total = self.run_estep_with_ncut(
-            estep, jnp.log(params["pi"]), data, sched, rng_partial,
+            estep, self.log_pi_active(params), data, sched, rng_partial,
             axis_name)
+        new, scalars = self.finalize_mstep(
+            params, sums, N_total, axis_name, state_axis, n_state_shards)
+        return new, F, scalars
+
+    def finalize_mstep(self, params, sums, N_total,
+                       axis_name: Optional[str] = None,
+                       state_axis: Optional[str] = None,
+                       n_state_shards: int = 1):
+        """Mesh reduction + the GSC "richer M-step" (W, pi, sigma, mu, psi)
+        + scalars.  Shared by ``step_fn`` and engine/stream.py (round 4)."""
+        from prosper_tpu.core.etstep import truncated_prior_logmass
         sums = jax.tree_util.tree_map(lambda a: maybe_psum(a, axis_name), sums)
         if state_axis is not None and n_state_shards > 1:
             sums = jax.tree_util.tree_map(
                 lambda a: jax.lax.psum(a, state_axis), sums)
+        logA, logB = truncated_prior_logmass(self.log_pi_active(params),
+                                             self.H, self.gamma)
 
         new = dict(params)
         n_used = jnp.maximum(sums["n"], 1.0)
@@ -108,19 +129,22 @@ class GSC(ETModel):
             "Q": sums["F_true"], "Q_mean": sums["F_true"] / n_used,
             "n_used": sums["n"], "N_total": N_total,
         }
-        return new, F, scalars
+        return new, scalars
 
     def inference(self, params, data, top_L: int = 10, anneal=None,
-                  runtime=None, dense_states: bool = True):
+                  runtime=None, dense_states=None):
         """Posterior decode (reference: CAModel.inference).
-        ``dense_states=False``: compact top-state fields (see LinearETModel
-        .inference) — faster at serving scale."""
+        ``dense_states``: True = dense (N, L, H) top states, False = compact
+        fields (faster at serving scale), None = auto by output size (see
+        LinearETModel.inference / ETModel.resolve_dense_states)."""
         from prosper_tpu.core.gscstep import gsc_posterior
         from prosper_tpu.models.base import sched_from_anneal
         sched = sched_from_anneal(anneal) if anneal is not None else None
         beta = sched["beta"] if sched else jnp.float32(1.0)
         prior_beta = sched["prior_beta"] if sched else jnp.float32(1.0)
         y = jnp.asarray(data["y"], jnp.float32)
+        dense_states = self.resolve_dense_states(y.shape[0], top_L,
+                                                 dense_states)
         return self._cached_infer(
             ("gsc", top_L, self.chunk, dense_states),
             lambda y_, p, b, pb: gsc_posterior(

@@ -100,16 +100,14 @@ class LinearETModel(ETModel):
 
     # -- the fused EM step ----------------------------------------------------
 
-    def step_fn(self, params, data, sched, rng, axis_name: Optional[str] = None,
-                state_axis: Optional[str] = None, n_state_shards: int = 1,
-                saturated: bool = False):
-        y = data["y"]
-        valid = data["valid"]
-        N = y.shape[0]
+    def estep_sums(self, params, y, weight, sched, saturated: bool = False,
+                   state_axis: Optional[str] = None, n_state_shards: int = 1):
+        """Family E-step over one device-resident block: (F, local sums).
 
-        rng_noise, rng_partial = jax.random.split(rng)
-        params = self.noisify(params, sched, rng_noise)
-
+        ``params`` must already be noisified; the caller owns the weight
+        mask and any cross-device reductions.  Shared by ``step_fn`` and
+        the host->device streaming driver (engine/stream.py, round 4 /
+        VERDICT r3 #7)."""
         sigma2 = params["sigma"] ** 2
         sa = self._sa_for(params)
         # the fused kernel targets production shapes; tiny toy dims (lane
@@ -124,44 +122,44 @@ class LinearETModel(ETModel):
         use_pallas = (self.backend == "pallas" and state_axis is None
                       and not self.learn_phi and self.s_block == 0
                       and self.H >= 64 and self.D >= 64)
-
-        def estep(weight):
-            # E-step (hot loop); the mask only scales accumulated statistics
-            # — per-datapoint F values are mask-independent
-            if use_pallas:
-                from prosper_tpu.ops.linear_pallas import linear_et_estep_pallas
-                return linear_et_estep_pallas(
-                    y, weight, params["W"], sigma2, self.log_odds(params),
-                    sa, self.Hprime, self.signed_select, sched["beta"],
-                    sched["prior_beta"], collect_true=not saturated)
-            # big-S tiling composes with state sharding (round 3: the state
-            # slice is tiled in s_block chunks, combined across the axis
-            # with the same online-logsumexp) but not with Phi learning
-            s_block = self.s_block if not self.learn_phi else 0
-            return linear_et_estep(
+        if use_pallas:
+            from prosper_tpu.ops.linear_pallas import linear_et_estep_pallas
+            return linear_et_estep_pallas(
                 y, weight, params["W"], sigma2, self.log_odds(params),
                 sa, self.Hprime, self.signed_select, sched["beta"],
-                sched["prior_beta"], self.chunk, state_axis=state_axis,
-                n_state_shards=n_state_shards,
-                compute_dtype=self.compute_dtype,
-                collect_phi=self.learn_phi, slot_onehot=self._slot_onehot,
-                s_block=s_block, pallas_bigs=use_pallas_bigs,
-                pallas_interpret=self._pallas_interpret,
-                pallas_precise=self._pallas_precise,
-                collect_true=not saturated)
+                sched["prior_beta"], collect_true=not saturated)
+        # big-S tiling composes with state sharding (round 3: the state
+        # slice is tiled in s_block chunks, combined across the axis
+        # with the same online-logsumexp) but not with Phi learning
+        s_block = self.s_block if not self.learn_phi else 0
+        return linear_et_estep(
+            y, weight, params["W"], sigma2, self.log_odds(params),
+            sa, self.Hprime, self.signed_select, sched["beta"],
+            sched["prior_beta"], self.chunk, state_axis=state_axis,
+            n_state_shards=n_state_shards,
+            compute_dtype=self.compute_dtype,
+            collect_phi=self.learn_phi, slot_onehot=self._slot_onehot,
+            s_block=s_block, pallas_bigs=use_pallas_bigs,
+            pallas_interpret=self._pallas_interpret,
+            pallas_precise=self._pallas_precise,
+            collect_true=not saturated)
 
-        # one-pass (lagged) vs reference-semantics (current-F) Ncut — the
-        # shared base-class orchestration (models/base.py)
-        F, sums, logA, logB, N_total = self.run_estep_with_ncut(
-            estep, self.log_pi_active(params), data, sched, rng_partial,
-            axis_name)
+    def finalize_mstep(self, params, sums, N_total,
+                       axis_name: Optional[str] = None,
+                       state_axis: Optional[str] = None,
+                       n_state_shards: int = 1):
+        """Reduce sums across the mesh, run the closed-form M-step, and
+        assemble the per-iteration scalars.  ``params`` is the noisified
+        pytree the E-step ran with (the ET A/B corrections are recomputed
+        from it).  Shared by ``step_fn`` and engine/stream.py."""
+        from prosper_tpu.core.etstep import truncated_prior_logmass
         sums = jax.tree_util.tree_map(lambda a: maybe_psum(a, axis_name), sums)
         if state_axis is not None and n_state_shards > 1:
             sums = jax.tree_util.tree_map(
                 lambda a: jax.lax.psum(a, state_axis), sums)
-
+        logA, logB = truncated_prior_logmass(self.log_pi_active(params),
+                                             self.H, self.gamma)
         new_params = self.m_step(params, sums, logA, logB)
-
         n_used = jnp.maximum(sums["n"], 1.0)
         scalars = {
             "F_total": sums["F"],
@@ -171,6 +169,29 @@ class LinearETModel(ETModel):
             "n_used": sums["n"],
             "N_total": N_total,
         }
+        return new_params, scalars
+
+    def step_fn(self, params, data, sched, rng, axis_name: Optional[str] = None,
+                state_axis: Optional[str] = None, n_state_shards: int = 1,
+                saturated: bool = False):
+        y = data["y"]
+
+        rng_noise, rng_partial = jax.random.split(rng)
+        params = self.noisify(params, sched, rng_noise)
+
+        def estep(weight):
+            # E-step (hot loop); the mask only scales accumulated statistics
+            # — per-datapoint F values are mask-independent
+            return self.estep_sums(params, y, weight, sched, saturated,
+                                   state_axis, n_state_shards)
+
+        # one-pass (lagged) vs reference-semantics (current-F) Ncut — the
+        # shared base-class orchestration (models/base.py)
+        F, sums, logA, logB, N_total = self.run_estep_with_ncut(
+            estep, self.log_pi_active(params), data, sched, rng_partial,
+            axis_name)
+        new_params, scalars = self.finalize_mstep(
+            params, sums, N_total, axis_name, state_axis, n_state_shards)
         return new_params, F, scalars
 
     # -- closed-form M-step ---------------------------------------------------
@@ -208,20 +229,25 @@ class LinearETModel(ETModel):
     # -- posterior decode (reference: CAModel.inference, SURVEY.md §3.3) ------
 
     def inference(self, params, data, top_L: int = 10, anneal=None,
-                  runtime=None, dense_states: bool = True):
+                  runtime=None, dense_states=None):
         """Posterior decode on held-out data: top states, probabilities,
         posterior mean and reconstruction (the serving path).  ``runtime``
         shards the decode over the mesh data axis (data-parallel serving).
-        ``dense_states=False`` returns the compact top-state fields instead
-        of the (N, L, H) tensor — ~1.7x faster at serving scale (measured
-        tools/ablate_decode.py); densify with
-        ``core.etstep.densify_top_states`` when needed."""
+        ``dense_states``: True returns the (N, L, H) dense top-state tensor
+        (reference-parity output); False returns the compact top-state
+        fields — ~1.9x faster at serving scale (tools/ablate_decode.py),
+        losslessly densifiable via ``core.etstep.densify_top_states``;
+        None (default, round 4 / VERDICT r3 #8) auto-selects: dense for
+        small batches, compact once the dense tensor would exceed
+        ``DENSE_STATES_AUTO_BYTES``."""
         from prosper_tpu.core.etstep import linear_et_posterior
         from prosper_tpu.models.base import sched_from_anneal
         sched = sched_from_anneal(anneal) if anneal is not None else None
         beta = sched["beta"] if sched else jnp.float32(1.0)
         prior_beta = sched["prior_beta"] if sched else jnp.float32(1.0)
         y = jnp.asarray(data["y"], jnp.float32)
+        dense_states = self.resolve_dense_states(y.shape[0], top_L,
+                                                 dense_states)
         return self._cached_infer(
             ("linear", top_L, self.chunk, dense_states),
             lambda y_, p, b, pb: linear_et_posterior(

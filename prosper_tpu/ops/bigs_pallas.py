@@ -53,14 +53,26 @@ from jax.experimental.pallas import tpu as pltpu
 # transcendental-bound at big S (each datapoint evaluates S exps; see the
 # roofline note in bigs_multi_pallas), so the lowering of exp IS the
 # bottleneck.  'exp2' computes exp(x) = exp2(x * log2 e) — exact algebra,
-# potentially cheaper lowering; 'floor' replaces exp with a multiply and
-# exists ONLY to measure the non-transcendental floor in tools/probe_*.
+# potentially cheaper lowering; '_floor' replaces exp with a multiply and
+# exists ONLY to measure the non-transcendental floor in tools/probe_* —
+# the leading underscore marks it as a measurement placebo that CORRUPTS
+# posteriors (ADVICE r3: never select it outside the probe tools).
 _LOG2E = 1.4426950408889634
 _EXP_IMPLS = {
     "exp": jnp.exp,
     "exp2": lambda x: jnp.exp2(x * _LOG2E),
-    "floor": lambda x: x * 1.0009765625 + 1.0,
+    "_floor": lambda x: x * 1.0009765625 + 1.0,
 }
+
+
+def _resolve_exp_impl(name: str):
+    try:
+        return _EXP_IMPLS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown exp_impl {name!r}; valid: {sorted(_EXP_IMPLS)} "
+            "('_floor' is a benchmark placebo that corrupts posteriors — "
+            "probe tools only)") from None
 
 
 def _kernel(scal_ref, pg_ref, cat_ref, mom_ref, ex_ref,
@@ -199,7 +211,8 @@ def bigs_multi_pallas(proj: jnp.ndarray, Gf: jnp.ndarray,
                       jnp.asarray(prior_beta, f32)])[None, :]
 
     kernel = partial(_kernel, s_block=s_block, Ct=tile, Mtot=Mtot,
-                     collect_true=collect_true, expfn=_EXP_IMPLS[exp_impl])
+                     collect_true=collect_true,
+                     expfn=_resolve_exp_impl(exp_impl))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_dp, n_s),

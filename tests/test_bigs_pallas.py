@@ -74,9 +74,13 @@ def test_bigs_pallas_bf16_policy_close():
                                    rtol=1e-2, atol=5e-2, err_msg=k)
 
 
-def test_bigs_pallas_model_step_wiring():
+@pytest.mark.parametrize("precise", [True, False])
+def test_bigs_pallas_model_step_wiring(precise):
     """backend='pallas' + s_block routes the jit_step through the fused
-    kernel and matches the XLA model bit-close, zero-weight rows included."""
+    kernel and matches the XLA model, zero-weight rows included.  precise
+    verifies the algebra at tight tolerance; precise=False covers the
+    PRODUCTION bf16-operand policy through the model wiring (ADVICE r3)
+    at bf16-roundoff tolerances."""
     from prosper_tpu.engine.anneal import LinearAnnealing
     from prosper_tpu.models.base import make_blank_data, sched_from_anneal
     from prosper_tpu.models.linear import TSC
@@ -89,17 +93,19 @@ def test_bigs_pallas_model_step_wiring():
     for backend in ("xla", "pallas"):
         m = TSC(D, H, Hp, gamma, chunk=N, s_block=16, backend=backend)
         m._pallas_interpret = True
-        m._pallas_precise = True
+        m._pallas_precise = precise
         if params is None:
             params = m.standard_init({"y": y}, seed=5)
         data = make_blank_data(y, valid=np.r_[np.ones(80), np.zeros(16)])
         sched = sched_from_anneal(LinearAnnealing(10))
         p, F, s = m.jit_step()(params, data, sched, jax.random.PRNGKey(0))
         outs[backend] = (p, np.asarray(F), np.asarray(s["F_mean"]))
+    rt, at = (1e-4, 1e-5) if precise else (5e-3, 1e-2)
     for k in outs["xla"][0]:
         np.testing.assert_allclose(
             np.asarray(outs["xla"][0][k]), np.asarray(outs["pallas"][0][k]),
-            rtol=1e-4, atol=1e-5, err_msg=f"param {k}")
+            rtol=rt, atol=at, err_msg=f"param {k}")
     np.testing.assert_allclose(outs["xla"][1], outs["pallas"][1],
-                               rtol=2e-5, atol=1e-4)
-    np.testing.assert_allclose(outs["xla"][2], outs["pallas"][2], rtol=1e-5)
+                               rtol=max(2e-5, rt), atol=max(1e-4, at))
+    np.testing.assert_allclose(outs["xla"][2], outs["pallas"][2],
+                               rtol=max(1e-5, rt), atol=at)

@@ -94,3 +94,62 @@ def test_diagnose_real_patches_dictionary():
     tight = [c for c, (a, b, ca, cb) in rep["blends"].items()
              if min(ca, cb) > 0.7]
     assert len(tight) >= 6
+
+
+def test_split_blend_sweep_synthetic():
+    """Round 4 (VERDICT r3 #5): the offline sweep splits a planted blend
+    into (blend col, donor col) using a junk column as the donor, without
+    touching the healthy single-atom columns."""
+    from prosper_tpu.data.diagnosis import split_blend_sweep
+
+    rng = np.random.default_rng(0)
+    D, H, ap = 144, 16, 6
+    gt = _planted(D=D, H=H, seed=4, active_pixels=ap) \
+        if "active_pixels" in _planted.__code__.co_varnames else _planted(
+            D=D, H=H, seed=4)
+    Wl = gt.copy()
+    Wl[:, 5] = gt[:, 5] + gt[:, 6]               # blend of atoms 5+6
+    # junk donor: wide unstructured column (support >> median)
+    Wl[:, 6] = np.abs(rng.standard_normal(D)) * 2.0
+    # data from the ground-truth model
+    N = 20000
+    s = (rng.random((N, H)) < 0.12)
+    Y = s @ gt.T + 0.4 * rng.standard_normal((N, D))
+    out = split_blend_sweep(Wl, Y)
+    assert out["splits"], "no split fired on a planted blend"
+    bcol, dcol = out["splits"][0]
+    assert bcol == 5 and dcol == 6
+    W2 = out["W"]
+    gn = gt / (np.linalg.norm(gt, axis=0) + 1e-12)
+    for atom in (5, 6):
+        best = max(abs(float(gn[:, atom] @ W2[:, c]
+                              / (np.linalg.norm(W2[:, c]) + 1e-12)))
+                   for c in (bcol, dcol))
+        assert best > 0.85, f"atom {atom} not recovered by the split"
+    # healthy columns untouched
+    for c in range(H):
+        if c not in (5, 6):
+            np.testing.assert_array_equal(W2[:, c], Wl[:, c])
+
+
+def test_split_blend_sweep_real_seed2():
+    """Regression on the real seed-2 dictionary: the sweep must lift
+    recovery from 289 to >= 296 BEFORE any polish (round-4 measurement:
+    297 with 5 splits on the regenerated data sample)."""
+    import os
+    import pytest
+    from prosper_tpu.data.diagnosis import split_blend_sweep
+
+    path = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "patches_seed2_diag.npz")
+    if not os.path.exists(path):
+        pytest.skip("calibration npz not present")
+    d = np.load(path)
+    rng = np.random.default_rng(3)
+    N = 65536
+    s = (rng.random((N, 300)) < 2.0 / 300)
+    Y = (s @ d["gtW"].T.astype(np.float64)
+         + rng.standard_normal((N, 256)))
+    out = split_blend_sweep(d["W"], Y)
+    rep = diagnose_recovery(out["W"], d["gtW"])
+    assert rep["recovered"].size >= 296

@@ -188,6 +188,32 @@ def test_inference_sharded_over_mesh_matches_single_device():
                                    rtol=1e-5, atol=1e-5, err_msg=k)
 
 
+def test_dense_states_auto_by_output_size():
+    """Round 4 (VERDICT r3 #8): dense_states=None (the new default)
+    auto-selects — dense (N, L, H) output for small batches, compact
+    fields once the dense tensor would exceed DENSE_STATES_AUTO_BYTES.
+    Explicit True/False still force either layout."""
+    model = BSC(16, 8, 5, 3)
+    rng = np.random.default_rng(8)
+    y = rng.standard_normal((64, model.D)).astype(np.float32)
+    params = model.standard_init({"y": y}, seed=3)
+
+    # small batch -> auto resolves dense
+    out = model.inference(params, {"y": y}, top_L=4)
+    assert "top_states" in out and out["top_states"].shape == (64, 4, 8)
+
+    # at serving scale the dense (N, L, H) tensor crosses the byte budget
+    # -> auto resolves compact (checked via the resolver, no giant alloc)
+    big_N = model.DENSE_STATES_AUTO_BYTES // (4 * 4 * model.H) + 1
+    assert model.resolve_dense_states(big_N, 4, None) is False
+    assert model.resolve_dense_states(big_N, 4, True) is True
+    assert model.resolve_dense_states(4, 4, False) is False
+
+    # forcing compact on the small batch returns the compact fields
+    out_c = model.inference(params, {"y": y}, top_L=4, dense_states=False)
+    assert "top_states" not in out_c and "top_cand_states" in out_c
+
+
 @pytest.mark.parametrize("family", ["bsc", "dsc", "gsc", "mca"])
 def test_compact_decode_densifies_to_dense(family):
     """inference(dense_states=False) + densify_top_states must reproduce the

@@ -1,8 +1,16 @@
-"""Stage ablation for the big-S E-step (round 3).
+"""Stage ablation for the big-S E-step (round 3; figures updated round 4).
 
-The fused Pallas kernel (ops/bigs_pallas.py) measured only +5% over the
-XLA scan on chip (3.51 vs 3.33 M dp/s) — far from the >=8M target.  This
-probe splits one chunk's device time into:
+Round-4 on-chip results (two solo runs, stable; S=12,564, C=8192):
+  A.  pallas kernel alone   1.24-1.26 ms/chunk (6.5 M dp/s-equiv)
+  A'. XLA scan alone        0.98-1.08 ms/chunk (7.6-8.4 M)
+  B.  surroundings (1 blk)  0.91-0.95 ms/chunk
+  C.  full estep XLA        1.27-1.28 ms/chunk (6.4 M)   <- faster backend
+  C.  full estep pallas     1.43-1.48 ms/chunk (5.5-5.7 M)
+Standalone A/B do NOT add up to C: the chained standalone harness carries
+per-rep sync overhead.  The device trace (tools/profile_bigs.py) gives the
+real split — full XLA step 0.73 ms/chunk DEVICE (11.2 M dp/s): 25-block
+scan 0.50 ms, surroundings 0.23 ms; the wall gap is relay dispatch.  See
+BASELINE.md "Big-S".  This probe splits one chunk's wall time into:
 
   A. the multi-state recurrence alone (pallas kernel vs XLA scan),
   B. everything AROUND it (candidate selection, Gram build, zero/singleton

@@ -67,7 +67,7 @@ def main():
     prior = vcounts_p @ log_odds
     valid = (jnp.arange(S_pad) < S).astype(jnp.float32)
 
-    # (tile, collect_true, exp_impl, s_block) — 'floor' replaces exp with a
+    # (tile, collect_true, exp_impl, s_block) — '_floor' replaces exp with a
     # multiply (measures the VPU-transcendental share: ~5%, NOT the wall);
     # the s_block sweep measures per-grid-step overhead amortisation
     # (400 steps at s_block=512 vs 112 at 2048)
