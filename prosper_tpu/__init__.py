@@ -24,11 +24,12 @@ SURVEY.md provenance warning; citations are to SURVEY.md section/row):
   - DataLog/AutoTable    -> SURVEY.md §2 datalog/autotable rows
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 from prosper_tpu.engine.anneal import LinearAnnealing
 from prosper_tpu.engine.em import EM, run_restarts
+from prosper_tpu.engine.stream import StreamingEM
 from prosper_tpu.parallel.mesh import MeshRuntime
 
-__all__ = ["LinearAnnealing", "EM", "run_restarts", "MeshRuntime",
-           "__version__"]
+__all__ = ["LinearAnnealing", "EM", "run_restarts", "StreamingEM",
+           "MeshRuntime", "__version__"]

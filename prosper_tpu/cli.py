@@ -189,6 +189,27 @@ def cmd_train(args) -> int:
     elif args.multihost:
         runtime = MeshRuntime()
 
+    if getattr(args, "stream", 0):
+        # host->device streaming driver for datasets beyond HBM (round 4,
+        # engine/stream.py).  v1 limits, enforced loudly: single process /
+        # single device, no mid-run checkpoint resume.
+        if runtime is not None:
+            raise SystemExit("--stream is single-device in v1; drop "
+                             "--mesh/--multihost")
+        if args.resume:
+            raise SystemExit("--stream does not support --resume yet")
+        from prosper_tpu.engine.stream import StreamingEM
+        sem = StreamingEM(model, anneal, np.asarray(data["y"]),
+                          seg_size=int(args.stream), params=params,
+                          seed=int(cfg.get("seed", 42)), dlog=dlog,
+                          log_params_every=log_params_every)
+        params = sem.run(verbose=not args.quiet)
+        from prosper_tpu.io import checkpoint
+        checkpoint.save(ckpt_path, params, step=anneal.position)
+        dlog.close()
+        pprint(f"[train] done (streamed, {sem.n_seg} segments) -> {out_dir}")
+        return 0
+
     # static-shape padding on EVERY path (valid=0 rows): the E-step requires
     # the per-shard size to divide the chunk, and the mesh requires N to
     # divide the shard count
@@ -373,6 +394,10 @@ def main(argv=None) -> int:
                     help="restart from <output>/checkpoint.h5 if present")
     pt.add_argument("--scan", action="store_true",
                     help="run all iterations inside one jit (lax.scan)")
+    pt.add_argument("--stream", type=int, default=0, metavar="SEG",
+                    help="stream the host-resident dataset through the "
+                         "device in SEG-datapoint segments (for datasets "
+                         "beyond HBM; engine/stream.py)")
     pt.add_argument("--backend", choices=("xla", "pallas"), default=None,
                     help="E-step backend (linear + max families)")
     pt.add_argument("--multihost", action="store_true",

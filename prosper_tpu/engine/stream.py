@@ -12,7 +12,9 @@ Design (TPU-native):
     np.memmap, h5py dataset); the device holds at most TWO segments at a
     time — segment k+1 uploads (async ``jax.device_put``) while segment k's
     E-step computes, so the HBM working set is 2 x seg_size x D floats
-    regardless of N;
+    regardless of N.  A device-cache tier (``cache_bytes``, default 8 GiB)
+    keeps ALL segments resident when the dataset fits — uploads then happen
+    once, and later iterations pay zero host->device traffic;
   * each EM iteration makes one pass over all segments, accumulating the
     family's summed sufficient statistics on device (the segment partial
     sums are tiny: (D,H)+(H,H)+scalars), then runs the closed-form M-step
@@ -97,7 +99,15 @@ class StreamingEM:
 
     def __init__(self, model, anneal, y, seg_size: int = 1 << 20,
                  params: Optional[Dict] = None, seed: int = 42,
-                 dlog=None, log_params_every: int = 1):
+                 dlog=None, log_params_every: int = 1,
+                 cache_bytes: Optional[int] = 8 << 30):
+        if not (hasattr(model, "estep_sums")
+                and hasattr(model, "finalize_mstep")):
+            raise TypeError(
+                f"{type(model).__name__} does not expose the streaming "
+                "protocol (estep_sums + finalize_mstep); the ET families "
+                "(BSC/TSC/DSC, MCA/MMCA, GSC) do — mixtures fit in device "
+                "memory by construction, use EM")
         self.model = model
         self.anneal = anneal
         self.dlog = dlog
@@ -108,6 +118,14 @@ class StreamingEM:
         seg = min(int(seg_size), self.N)
         self.seg_size = -(-seg // c) * c
         self.n_seg = -(-self.N // self.seg_size)
+        #: device-cache tier: when the whole dataset fits ``cache_bytes``
+        #: of device memory, segments upload ONCE and are reused every
+        #: iteration (the host->device stream then costs nothing after
+        #: iteration 0); beyond the budget, segments roll through the
+        #: two-buffer pipeline.  None/0 disables caching.
+        total = self.n_seg * self.seg_size * int(y.shape[1]) * 4
+        self._cache_all = bool(cache_bytes) and total <= int(cache_bytes or 0)
+        self._seg_cache: Dict[int, tuple] = {}
         self.rng = jax.random.PRNGKey(seed)
         #: lagged per-datapoint free energies (host-resident, N f32)
         self.F_prev = np.zeros((self.N,), np.float32)
@@ -189,13 +207,19 @@ class StreamingEM:
         return y_seg, valid, lo, n_real
 
     def _put(self, k: int):
-        y_seg, valid, lo, n_real = self._host_segment(k)
-        dev = (jax.device_put(y_seg), jax.device_put(valid),
-               jax.device_put(self.F_prev[lo:lo + n_real] if n_real
-                              == self.seg_size else
-                              np.pad(self.F_prev[lo:lo + n_real],
-                                     (0, self.seg_size - n_real))))
-        return dev, lo, n_real
+        if k in self._seg_cache:
+            (y_dev, v_dev), lo, n_real = self._seg_cache[k]
+        else:
+            y_seg, valid, lo, n_real = self._host_segment(k)
+            y_dev = jax.device_put(y_seg)
+            v_dev = jax.device_put(valid)
+            if self._cache_all:
+                self._seg_cache[k] = ((y_dev, v_dev), lo, n_real)
+        # F_prev changes every iteration — always re-uploaded (N f32, tiny)
+        fp = self.F_prev[lo:lo + n_real]
+        if n_real != self.seg_size:
+            fp = np.pad(fp, (0, self.seg_size - n_real))
+        return (y_dev, v_dev, jax.device_put(fp)), lo, n_real
 
     # -- the drivers ------------------------------------------------------------
 

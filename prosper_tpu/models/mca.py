@@ -78,11 +78,21 @@ class MCA(ETModel):
         use_pallas = (self.backend == "pallas" and state_axis is None
                       and (self._pallas_interpret
                            or (self.H >= 64 and self.D >= 64)))
+        use_dtiled = False
         if use_pallas:
-            from prosper_tpu.ops.max_pallas import max_auto_tile
-            use_pallas = max_auto_tile(
-                N, self.D, self.H, self.Hprime,
-                self.sa.states.shape[0]) > 0
+            from prosper_tpu.core.maxstep import _subset_dp_plan
+            from prosper_tpu.ops.max_pallas import (max_auto_tile,
+                                                    max_dtiled_tiles)
+            S = self.sa.states.shape[0]
+            if max_auto_tile(N, self.D, self.H, self.Hprime, S) <= 0:
+                # the (S, D)-per-lane resident lattice exceeds VMEM (the
+                # patches config D=256) — fall through to the round-4
+                # D-tiled two-pass kernel when ITS working set fits
+                plan = _subset_dp_plan(np.asarray(self.sa.states))
+                level_max = max(len(pp) for pp, _ in plan)
+                use_dtiled = max_dtiled_tiles(
+                    self.D, self.H, self.Hprime, S, level_max) is not None
+                use_pallas = use_dtiled
 
         def xla():
             return max_et_estep(
@@ -96,8 +106,11 @@ class MCA(ETModel):
             return xla()
 
         def fused():
-            from prosper_tpu.ops.max_pallas import max_et_estep_pallas
-            return max_et_estep_pallas(
+            from prosper_tpu.ops.max_pallas import (max_et_estep_pallas,
+                                                    max_et_estep_pallas_dtiled)
+            fn = (max_et_estep_pallas_dtiled if use_dtiled
+                  else max_et_estep_pallas)
+            return fn(
                 y, weight, params["W"], sigma2, self._log_odds(params),
                 self.sa, self.Hprime, self.magnitude, sched["beta"],
                 sched["prior_beta"], interpret=self._pallas_interpret,

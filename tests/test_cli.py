@@ -184,3 +184,21 @@ def test_cli_diagnose_json(tiny_config, tmp_path, capsys):
                      "--json"]) == 0
     rep = json.loads(capsys.readouterr().out)
     assert rep["total"] == 8 and 0 <= rep["recovered"] <= 8
+
+
+def test_cli_train_stream(tiny_config, tmp_path):
+    """--stream SEG routes training through engine/stream.py (round 4):
+    logs/checkpoint written, Q improves, and --mesh/--resume are rejected."""
+    out = str(tmp_path / "runs")
+    rc = cli.main(["train", tiny_config, "-o", out, "-q", "--stream", "100"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "checkpoint.h5"))
+    rows = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    assert len(rows) == 15
+    assert rows[-1]["Q_mean"] > rows[0]["Q_mean"]
+    with pytest.raises(SystemExit):
+        cli.main(["train", tiny_config, "-o", out, "-q", "--stream", "100",
+                  "--mesh", "data=4"])
+    with pytest.raises(SystemExit):
+        cli.main(["train", tiny_config, "-o", out, "-q", "--stream", "100",
+                  "--resume"])

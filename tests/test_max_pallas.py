@@ -130,3 +130,71 @@ def test_max_pallas_zero_weight_chunk():
         np.testing.assert_allclose(np.asarray(s1[k]), np.asarray(s2[k]),
                                    rtol=3e-5, atol=2e-4, err_msg=k)
     assert np.all(np.isfinite(np.asarray(F2)))
+
+
+@pytest.mark.parametrize("magnitude", [False, True])
+@pytest.mark.parametrize("beta,prior_beta", [(1.0, 1.0), (0.6, 0.6)])
+def test_max_dtiled_matches_xla(magnitude, beta, prior_beta):
+    """Round-4 D-tiled two-pass kernel (the patches-config path where the
+    resident lattice exceeds VMEM): must reproduce the XLA E-step at f32
+    tolerance, including D not a multiple of d_block (zero-row padding)."""
+    from prosper_tpu.ops.max_pallas import max_et_estep_pallas_dtiled
+
+    D, H, Hp, gamma, N = 24, 20, 5, 3, 96      # D=24, d_block=8 -> n_d=3
+    sa, W, y = _setup(D, H, Hp, gamma, N, 13, magnitude)
+    weight = jnp.asarray(
+        np.random.default_rng(5).random(N) < 0.8, jnp.float32)
+    lo = jnp.float32(np.log(0.12 / 0.88))
+    s2 = jnp.float32(1.1)
+    b, pb = jnp.float32(beta), jnp.float32(prior_beta)
+
+    F1, s1 = jax.jit(lambda: max_et_estep(
+        y, weight, W, s2, lo, sa, Hp, magnitude, b, pb, chunk=N))()
+    F2, s2_ = jax.jit(lambda: max_et_estep_pallas_dtiled(
+        y, weight, W, s2, lo, sa, Hp, magnitude, b, pb, tile=32,
+        d_block=8, interpret=True))()
+    np.testing.assert_allclose(np.asarray(F1), np.asarray(F2),
+                               rtol=2e-5, atol=1e-4)
+    for k in s1:
+        np.testing.assert_allclose(np.asarray(s1[k]), np.asarray(s2_[k]),
+                                   rtol=3e-5, atol=2e-4, err_msg=k)
+
+
+def test_max_dtiled_pads_D_and_N():
+    """D=20 with d_block=8 pads two zero rows; N=100 with tile=32 pads 28
+    weight-0 lanes — both must leave F and every sum unchanged."""
+    from prosper_tpu.ops.max_pallas import max_et_estep_pallas_dtiled
+
+    D, H, Hp, gamma, N = 20, 16, 4, 3, 100
+    sa, W, y = _setup(D, H, Hp, gamma, N, 17, False)
+    weight = jnp.ones((N,), jnp.float32)
+    lo = jnp.float32(np.log(0.2 / 0.8))
+    F1, s1 = jax.jit(lambda: max_et_estep(
+        y, weight, W, jnp.float32(1.0), lo, sa, Hp, False,
+        jnp.float32(1.0), jnp.float32(1.0), chunk=N))()
+    F2, s2 = jax.jit(lambda: max_et_estep_pallas_dtiled(
+        y, weight, W, jnp.float32(1.0), lo, sa, Hp, False,
+        jnp.float32(1.0), jnp.float32(1.0), tile=32, d_block=8,
+        interpret=True))()
+    assert F2.shape == (N,)
+    assert s2["numer"].shape == (H, D) and s2["denom"].shape == (H, D)
+    np.testing.assert_allclose(np.asarray(F1), np.asarray(F2),
+                               rtol=2e-5, atol=1e-4)
+    for k in s1:
+        np.testing.assert_allclose(np.asarray(s1[k]), np.asarray(s2[k]),
+                                   rtol=3e-5, atol=2e-4, err_msg=k)
+
+
+def test_max_dtiled_saturated_skips_true_channel():
+    """collect_true=False: F_true must equal F exactly (static drop)."""
+    from prosper_tpu.ops.max_pallas import max_et_estep_pallas_dtiled
+
+    D, H, Hp, gamma, N = 16, 16, 4, 3, 64
+    sa, W, y = _setup(D, H, Hp, gamma, N, 19, False)
+    weight = jnp.ones((N,), jnp.float32)
+    lo = jnp.float32(np.log(0.2 / 0.8))
+    F, s = jax.jit(lambda: max_et_estep_pallas_dtiled(
+        y, weight, W, jnp.float32(1.0), lo, sa, Hp, False,
+        jnp.float32(1.0), jnp.float32(1.0), tile=32, d_block=8,
+        interpret=True, collect_true=False))()
+    np.testing.assert_allclose(float(s["F"]), float(s["F_true"]), rtol=0)

@@ -127,3 +127,23 @@ def test_streaming_first_iteration_ncut_keeps_all():
                       params=model.standard_init(data, seed=6), seed=1)
     s = sem.step_once()
     assert s["n_used"] == 128.0
+
+
+def test_streaming_cache_tier_equivalent():
+    """cache_bytes: cached (dataset fits) and uncached (true streaming)
+    runs produce identical trajectories; the cache holds every segment."""
+    model = BSC(16, 8, 5, 3, chunk=64)
+    gt = bars_gt_params(model, intensity=10.0, sigma=1.0)
+    data = model.generate_data(gt, 256, seed=21)
+    p0 = model.standard_init(data, seed=22)
+    a = lambda: _anneal(4)  # noqa: E731
+    s_c = StreamingEM(model, a(), data["y"], seg_size=128,
+                      params=dict(p0), seed=9)
+    pc = s_c.run()
+    assert s_c._cache_all and len(s_c._seg_cache) == s_c.n_seg
+    s_u = StreamingEM(model, a(), data["y"], seg_size=128,
+                      params=dict(p0), seed=9, cache_bytes=0)
+    pu = s_u.run()
+    assert not s_u._cache_all and not s_u._seg_cache
+    for k in pc:
+        np.testing.assert_array_equal(np.asarray(pc[k]), np.asarray(pu[k]))
