@@ -154,15 +154,18 @@ class StreamingEM:
             self._jits["logA"] = jax.jit(f)
         return self._jits["logA"]
 
-    def _seg_step(self, saturated: bool):
+    def _seg_step(self, saturated: bool, first: bool):
         """(params_n, y_seg, valid_seg, F_prev_seg, sched, rng, thresh,
-        ncut_on) -> (F_seg, sums_seg) with the weight mask built on device."""
-        key = ("seg", saturated)
+        ncut_on[, acc]) -> (F_seg, acc') with the weight mask built on
+        device.  The running sufficient-statistic accumulator is FOLDED
+        into the same dispatch (a separate acc call paid a full relay
+        round trip per segment in this environment — round-4 bench)."""
+        key = ("seg", saturated, first)
         if key not in self._jits:
             from prosper_tpu.core.select import exact_count_mask
 
             def f(params, y_seg, valid_seg, Fp_seg, sched, rng, thresh,
-                  ncut_on):
+                  ncut_on, acc=None):
                 n = valid_seg.shape[0]
                 w = jax.lax.cond(
                     sched["partial"] >= 1.0,
@@ -173,8 +176,11 @@ class StreamingEM:
                     ncut_on > 0,
                     lambda: w * (Fp_seg >= thresh).astype(jnp.float32),
                     lambda: w)
-                return self.model.estep_sums(params, y_seg, w, sched,
-                                             saturated=saturated)
+                F, sums = self.model.estep_sums(params, y_seg, w, sched,
+                                                saturated=saturated)
+                if acc is not None:
+                    sums = jax.tree_util.tree_map(jnp.add, acc, sums)
+                return F, sums
             self._jits[key] = jax.jit(f)
         return self._jits[key]
 
@@ -184,12 +190,6 @@ class StreamingEM:
                 return self.model.finalize_mstep(params, sums, N_total)
             self._jits["finalize"] = jax.jit(f)
         return self._jits["finalize"]
-
-    def _acc(self):
-        if "acc" not in self._jits:
-            self._jits["acc"] = jax.jit(
-                lambda a, b: jax.tree_util.tree_map(jnp.add, a, b))
-        return self._jits["acc"]
 
     # -- segment plumbing -------------------------------------------------------
 
@@ -206,7 +206,7 @@ class StreamingEM:
         valid[:n_real] = 1.0
         return y_seg, valid, lo, n_real
 
-    def _put(self, k: int):
+    def _put(self, k: int, need_fp: bool):
         if k in self._seg_cache:
             (y_dev, v_dev), lo, n_real = self._seg_cache[k]
         else:
@@ -215,11 +215,21 @@ class StreamingEM:
             v_dev = jax.device_put(valid)
             if self._cache_all:
                 self._seg_cache[k] = ((y_dev, v_dev), lo, n_real)
-        # F_prev changes every iteration — always re-uploaded (N f32, tiny)
-        fp = self.F_prev[lo:lo + n_real]
-        if n_real != self.seg_size:
-            fp = np.pad(fp, (0, self.seg_size - n_real))
-        return (y_dev, v_dev, jax.device_put(fp)), lo, n_real
+        # F_prev re-uploads only while the Ncut threshold consumes it —
+        # when the cut is off this iteration a reused device zeros buffer
+        # stands in (the jit signature stays fixed; 2x fewer host->device
+        # transfers per segment in the pre-Ncut phase)
+        if need_fp:
+            fp = self.F_prev[lo:lo + n_real]
+            if n_real != self.seg_size:
+                fp = np.pad(fp, (0, self.seg_size - n_real))
+            fp_dev = jax.device_put(fp)
+        else:
+            if "zeros_fp" not in self._jits:
+                self._jits["zeros_fp"] = jax.device_put(
+                    np.zeros((self.seg_size,), np.float32))
+            fp_dev = self._jits["zeros_fp"]
+        return (y_dev, v_dev, fp_dev), lo, n_real
 
     # -- the drivers ------------------------------------------------------------
 
@@ -247,28 +257,44 @@ class StreamingEM:
         else:
             thresh = float("-inf")
 
-        seg_step = self._seg_step(saturated)
+        # the lagged F only needs maintaining while something consumes it:
+        # the NEXT iteration's Ncut threshold (peeked from the schedule)
+        pos = self.anneal.position
+        try:
+            self.anneal.position = min(pos + 1, self.anneal.steps - 1)
+            need_F = float(sched_floats(self.anneal)["Ncut_factor"]) > 0.0
+        finally:
+            self.anneal.position = pos
+
         acc = None
         F_parts = []
-        nxt, nxt_lo, nxt_n = self._put(0)
+        nxt, nxt_lo, nxt_n = self._put(0, ncut_on)
         for k in range(self.n_seg):
             cur, lo, n_real = nxt, nxt_lo, nxt_n
             if k + 1 < self.n_seg:
                 # upload k+1 while k computes (async dispatch order)
-                nxt, nxt_lo, nxt_n = self._put(k + 1)
+                nxt, nxt_lo, nxt_n = self._put(k + 1, ncut_on)
             rk = jax.random.fold_in(rng_partial, k)
-            F_seg, sums_seg = seg_step(
-                params_n, cur[0], cur[1], cur[2], sched, rk,
-                jnp.float32(thresh), jnp.int32(1 if ncut_on else 0))
-            acc = sums_seg if acc is None else self._acc()(acc, sums_seg)
+            args = (params_n, cur[0], cur[1], cur[2], sched, rk,
+                    jnp.float32(thresh), jnp.int32(1 if ncut_on else 0))
+            if acc is None:
+                F_seg, acc = self._seg_step(saturated, True)(*args)
+            else:
+                F_seg, acc = self._seg_step(saturated, False)(*args, acc)
             F_parts.append((lo, n_real, F_seg))
 
         new_params, scalars = self._finalize()(
             params_n, acc, jnp.float32(self.N))
         self.params = new_params
-        for lo, n_real, F_seg in F_parts:
-            self.F_prev[lo:lo + n_real] = np.asarray(
-                jax.device_get(F_seg))[:n_real]
+        if need_F:
+            # ONE host fetch per iteration (a per-segment device_get paid a
+            # full relay round trip each — measured in the round-4 bench)
+            F_all = np.asarray(jax.device_get(jnp.concatenate(
+                [f for _, _, f in F_parts])))
+            off = 0
+            for lo, n_real, _ in F_parts:
+                self.F_prev[lo:lo + n_real] = F_all[off:off + n_real]
+                off += self.seg_size
 
         scalars = {k: float(jax.device_get(v)) for k, v in scalars.items()}
         scalars["iteration"] = self.anneal.position

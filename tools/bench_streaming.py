@@ -62,25 +62,29 @@ def main():
     params0 = model.standard_init({"y": y[:SEG]}, seed=3)
 
     def run_resident(N):
-        anneal = LinearAnnealing(ITERS + 2)
+        anneal = LinearAnnealing(3 * ITERS)
         em = EM(model, anneal, {"y": y[:N]}, params=dict(params0), seed=7)
-        em.run_scanned(2)                       # warmup/compile
-        t0 = time.perf_counter()
-        em.run_scanned(ITERS)
-        dt = time.perf_counter() - t0
-        return N * ITERS / dt
+        em.run_scanned(ITERS)          # warmup at the SAME segment length
+        best = 0.0                     # (a shorter warmup length would put
+        for _ in range(2):             # the jit compile inside the timing)
+            t0 = time.perf_counter()
+            em.run_scanned(ITERS)
+            best = max(best, N * ITERS / (time.perf_counter() - t0))
+        return best
 
     def run_streamed(N, cache_bytes, iters=ITERS):
-        anneal = LinearAnnealing(iters + 2)
+        anneal = LinearAnnealing(2 * iters + 2)
         sem = StreamingEM(model, anneal, y[:N], seg_size=SEG,
                           params=dict(params0), seed=7,
                           cache_bytes=cache_bytes)
         sem.step_once(); sem.step_once()        # warmup/compile (+ cache)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            sem.step_once()
-        dt = time.perf_counter() - t0
-        return N * iters / dt, sem.n_seg
+        best = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                sem.step_once()
+            best = max(best, N * iters / (time.perf_counter() - t0))
+        return best, sem.n_seg
 
     dps_res = run_resident(1_000_000)
     print(f"[resident] N=1e6: {dps_res/1e6:.2f} M dp/s", flush=True)
