@@ -46,9 +46,10 @@ COLLECTIVES = ("psum", "pmax", "pmin", "all_gather", "reduce_scatter",
 #: v5e public specs / scaling-book constants
 BW_RING = 45e9          # bytes/s, one ICI link direction
 T_LAT = 10e-6           # s, per-collective dispatch overhead (conservative)
-PEAK_DPS = {            # measured single-chip E-step dp/s (BENCH r3 capture)
-    "bsc": 12.15e6, "tsc": 11.16e6, "dsc": 11.20e6,
-    "gsc": 15.5e6, "mca": 13.0e6, "mmca": 11.5e6,
+PEAK_DPS = {            # measured single-chip E-step dp/s (BENCH r4 capture;
+    # every family at the PATCHES-SCALE config — the comparable matrix)
+    "bsc": 12.09e6, "tsc": 11.41e6, "dsc": 12.24e6,
+    "gsc": 5.22e6, "mca": 6.30e6, "mmca": 6.23e6,
 }
 
 
@@ -138,9 +139,9 @@ def main():
         "bsc": BSC(256, 300, 8, 4, chunk=8192),
         "tsc": TSC(256, 300, 6, 3, chunk=8192),
         "dsc": DSC(256, 300, 5, 3, phi=(-1.0, 1.0, 2.0), chunk=8192),
-        "gsc": GSC(64, 100, 6, 3, chunk=8192),
-        "mca": MCA(64, 100, 6, 3, chunk=8192),
-        "mmca": MMCA(64, 100, 6, 3, chunk=8192),
+        "gsc": GSC(256, 300, 6, 3, chunk=8192),
+        "mca": MCA(256, 300, 6, 3, chunk=8192),
+        "mmca": MMCA(256, 300, 6, 3, chunk=8192),
     }
     print(f"{'family':8s} {'psum KB/step':>12s} {'n_coll':>7s} "
           f"{'eff@16 (N=1e6)':>15s} {'t_comp ms':>10s} {'t_comm us':>10s}")
