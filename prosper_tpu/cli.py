@@ -128,6 +128,13 @@ def _truncate_logs(out_dir: str, step: int, log_params_every: int) -> None:
 
 
 def cmd_train(args) -> int:
+    if getattr(args, "stream", 0) and (args.mesh
+                                       or getattr(args, "multihost", False)):
+        # validate BEFORE any file handles open: the dlog handlers truncate
+        # result.h5/metrics.jsonl in "w" mode, so a late rejection would
+        # wipe a previous run's logs (round-4 regression test)
+        raise SystemExit("--stream is single-device in v1; drop "
+                         "--mesh/--multihost")
     if getattr(args, "multihost", False):
         # must run before anything touches a JAX backend
         from prosper_tpu.parallel.mesh import init_multihost
@@ -191,18 +198,25 @@ def cmd_train(args) -> int:
 
     if getattr(args, "stream", 0):
         # host->device streaming driver for datasets beyond HBM (round 4,
-        # engine/stream.py).  v1 limits, enforced loudly: single process /
-        # single device, no mid-run checkpoint resume.
+        # engine/stream.py).  v1 limit, enforced loudly: single process /
+        # single device.
         if runtime is not None:
             raise SystemExit("--stream is single-device in v1; drop "
                              "--mesh/--multihost")
-        if args.resume:
-            raise SystemExit("--stream does not support --resume yet")
         from prosper_tpu.engine.stream import StreamingEM
         sem = StreamingEM(model, anneal, np.asarray(data["y"]),
                           seg_size=int(args.stream), params=params,
                           seed=int(cfg.get("seed", 42)), dlog=dlog,
-                          log_params_every=log_params_every)
+                          log_params_every=log_params_every,
+                          checkpoint_path=ckpt_path,
+                          checkpoint_every=int(cfg.get("checkpoint_every",
+                                                       25)))
+        if args.resume and os.path.exists(ckpt_path):
+            # the generic resume block above already restored params and
+            # the anneal offset (and truncated the logs); sem.resume
+            # additionally restores the PRNG chain and the lagged F_prev
+            # that drives the Ncut ranking
+            sem.resume(ckpt_path)
         params = sem.run(verbose=not args.quiet)
         from prosper_tpu.io import checkpoint
         checkpoint.save(ckpt_path, params, step=anneal.position)

@@ -100,7 +100,9 @@ class StreamingEM:
     def __init__(self, model, anneal, y, seg_size: int = 1 << 20,
                  params: Optional[Dict] = None, seed: int = 42,
                  dlog=None, log_params_every: int = 1,
-                 cache_bytes: Optional[int] = 8 << 30):
+                 cache_bytes: Optional[int] = 8 << 30,
+                 checkpoint_path: Optional[str] = None,
+                 checkpoint_every: int = 0):
         if not (hasattr(model, "estep_sums")
                 and hasattr(model, "finalize_mstep")):
             raise TypeError(
@@ -108,6 +110,12 @@ class StreamingEM:
                 "protocol (estep_sums + finalize_mstep); the ET families "
                 "(BSC/TSC/DSC, MCA/MMCA, GSC) do — mixtures fit in device "
                 "memory by construction, use EM")
+        if getattr(model, "ncut_current", False):
+            raise ValueError(
+                "ncut_current (reference same-iteration Ncut ranking) needs "
+                "a second E-step pass per iteration and is not supported by "
+                "the streaming driver; use the default lagged ranking or "
+                "the in-memory EM")
         self.model = model
         self.anneal = anneal
         self.dlog = dlog
@@ -127,6 +135,12 @@ class StreamingEM:
         self._cache_all = bool(cache_bytes) and total <= int(cache_bytes or 0)
         self._seg_cache: Dict[int, tuple] = {}
         self.rng = jax.random.PRNGKey(seed)
+        #: failure recovery (SURVEY.md §5.3/5.4, same contract as EM):
+        #: periodic checkpoints carry params, the PRNG chain and F_prev so
+        #: a resumed run replays the identical trajectory
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = int(checkpoint_every)
+        self._last_ckpt = anneal.position
         #: lagged per-datapoint free energies (host-resident, N f32)
         self.F_prev = np.zeros((self.N,), np.float32)
         if params is None:
@@ -315,7 +329,36 @@ class StreamingEM:
                   f"n_used={scalars['n_used']:.0f} "
                   f"segs={self.n_seg} dt={scalars['dt']*1e3:.0f}ms")
         self.anneal.next()
+        self._maybe_checkpoint()
         return scalars
+
+    def _maybe_checkpoint(self) -> None:
+        if (self.checkpoint_path and self.checkpoint_every
+                and self.anneal.position - self._last_ckpt
+                >= self.checkpoint_every):
+            self._last_ckpt = self.anneal.position
+            from prosper_tpu.io import checkpoint
+            checkpoint.save(self.checkpoint_path, self.params,
+                            step=self.anneal.position, rng=self.rng,
+                            extra={"F_prev": self.F_prev})
+
+    def resume(self, path: str) -> int:
+        """Restore params/rng/F_prev from a checkpoint and fast-forward the
+        anneal; returns the restored step.  The continued run replays the
+        uninterrupted trajectory (same PRNG chain, same lagged-Ncut
+        ranking input)."""
+        from prosper_tpu.io import checkpoint
+        params, step, rng, extra = checkpoint.restore_full(path)
+        self.params = params
+        if rng is not None:
+            self.rng = rng
+        fp = extra.get("F_prev")
+        if fp is not None and fp.shape[0] == self.N:
+            self.F_prev[:] = fp
+        step = min(int(step), self.anneal.steps)
+        self.anneal.reset(step)
+        self._last_ckpt = step
+        return step
 
     def run(self, verbose: bool = False) -> Dict:
         while not self.anneal.finished:

@@ -224,7 +224,6 @@ def _dtiled_kernel(scal_ref, PT_ref, yT_ref, w_ref, Wblk_ref, gdiagT_ref,
     i = pl.program_id(0)
     j = pl.program_id(1)
     f32 = jnp.float32
-    neg = jnp.float32(-3e38)
 
     sigma2 = scal_ref[0, 0]
     beta = scal_ref[0, 1]

@@ -199,6 +199,11 @@ def test_cli_train_stream(tiny_config, tmp_path):
     with pytest.raises(SystemExit):
         cli.main(["train", tiny_config, "-o", out, "-q", "--stream", "100",
                   "--mesh", "data=4"])
-    with pytest.raises(SystemExit):
-        cli.main(["train", tiny_config, "-o", out, "-q", "--stream", "100",
-                  "--resume"])
+    # --resume restores the streamed checkpoint (round 4: streaming has
+    # checkpoint/resume parity with EM); the finished run resumes at the
+    # final step and exits cleanly without duplicating log rows
+    rc = cli.main(["train", tiny_config, "-o", out, "-q", "--stream", "100",
+                   "--resume"])
+    assert rc == 0
+    rows = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    assert len(rows) == 15

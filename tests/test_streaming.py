@@ -147,3 +147,65 @@ def test_streaming_cache_tier_equivalent():
     assert not s_u._cache_all and not s_u._seg_cache
     for k in pc:
         np.testing.assert_array_equal(np.asarray(pc[k]), np.asarray(pu[k]))
+
+
+def test_streaming_rejects_unsupported_models():
+    """Mixtures (no streaming protocol) and ncut_current models get clear
+    errors instead of silent wrong semantics."""
+    from prosper_tpu.models.mixtures import MoG
+
+    a = LinearAnnealing(2)
+    y = np.zeros((64, 8), np.float32)
+    with pytest.raises(TypeError):
+        StreamingEM(MoG(D=8, K=4), a, y, seg_size=32)
+    m = BSC(16, 8, 5, 3, chunk=32, ncut_current=True)
+    with pytest.raises(ValueError):
+        StreamingEM(m, a, np.zeros((64, 16), np.float32), seg_size=32)
+
+
+def test_streaming_dsc_phi_learning():
+    """DSC with a learned Phi streams too: the phi_c/phi_M sufficient
+    statistics accumulate across segments and the phi M-step matches the
+    in-memory trajectory."""
+    from prosper_tpu.models.linear import DSC
+
+    model = DSC(16, 8, 5, 3, phi=(-1.0, 1.0, 2.0),
+                to_learn=("W", "pi", "sigma", "phi"), chunk=64)
+    gt = {"W": np.random.default_rng(51).standard_normal(
+              (16, 8)).astype(np.float32) * 2.0,
+          "pi": np.full((3,), 0.05, np.float32),
+          "sigma": np.float32(0.5)}
+    em, p_mem, sem, p_str = _run_pair(model, gt, N=256, seg_size=128,
+                                      steps=4)
+    for k in p_mem:
+        np.testing.assert_allclose(np.asarray(p_mem[k]), np.asarray(p_str[k]),
+                                   rtol=5e-4, atol=1e-4, err_msg=k)
+
+
+def test_streaming_checkpoint_resume_equivalence(tmp_path):
+    """A streamed run interrupted at a checkpoint and resumed replays the
+    uninterrupted trajectory exactly (params + PRNG chain + F_prev)."""
+    model = BSC(16, 8, 5, 3, chunk=64)
+    gt = bars_gt_params(model, intensity=10.0, sigma=1.0)
+    data = model.generate_data(gt, 256, seed=61)
+    p0 = model.standard_init(data, seed=62)
+    ck = str(tmp_path / "stream_ckpt.h5")
+
+    s_full = StreamingEM(model, _anneal(8), data["y"], seg_size=128,
+                         params=dict(p0), seed=13)
+    p_ref = s_full.run()
+
+    s_a = StreamingEM(model, _anneal(8), data["y"], seg_size=128,
+                      params=dict(p0), seed=13,
+                      checkpoint_path=ck, checkpoint_every=4)
+    for _ in range(5):            # past the step-4 checkpoint, then "crash"
+        s_a.step_once()
+
+    s_b = StreamingEM(model, _anneal(8), data["y"], seg_size=128,
+                      params=dict(p0), seed=999)   # wrong seed on purpose
+    step = s_b.resume(ck)
+    assert step == 4
+    p_res = s_b.run()
+    for k in p_ref:
+        np.testing.assert_allclose(np.asarray(p_ref[k]), np.asarray(p_res[k]),
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
