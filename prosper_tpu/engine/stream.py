@@ -102,7 +102,8 @@ class StreamingEM:
                  dlog=None, log_params_every: int = 1,
                  cache_bytes: Optional[int] = 8 << 30,
                  checkpoint_path: Optional[str] = None,
-                 checkpoint_every: int = 0):
+                 checkpoint_every: int = 0,
+                 runtime=None):
         if not (hasattr(model, "estep_sums")
                 and hasattr(model, "finalize_mstep")):
             raise TypeError(
@@ -116,6 +117,18 @@ class StreamingEM:
                 "a second E-step pass per iteration and is not supported by "
                 "the streaming driver; use the default lagged ranking or "
                 "the in-memory EM")
+        #: optional MeshRuntime: each segment is sharded over the mesh data
+        #: axis (shard_map'd E-step, psum'd sufficient statistics — the
+        #: beyond-HBM x multi-chip combination); a ('data','state') mesh
+        #: additionally shards the enumerated-state axis for supporting
+        #: models, exactly like EM.  Single-process only in v1 (each
+        #: process would need its own host shard of y).
+        self.runtime = runtime
+        if runtime is not None and jax.process_count() > 1:
+            raise NotImplementedError(
+                "multi-process streaming is not supported yet; run one "
+                "StreamingEM per process over its host shard with EM-style "
+                "jax.distributed, or use the in-memory EM")
         self.model = model
         self.anneal = anneal
         self.dlog = dlog
@@ -123,6 +136,10 @@ class StreamingEM:
         self.y = y
         self.N = int(y.shape[0])
         c = max(int(model.chunk), 1)
+        if runtime is not None:
+            # every device shard of a segment must be a whole number of
+            # chunks, so segments round to chunk x n_data_shards
+            c *= int(runtime.n_data_shards)
         seg = min(int(seg_size), self.N)
         self.seg_size = -(-seg // c) * c
         self.n_seg = -(-self.N // self.seg_size)
@@ -177,25 +194,64 @@ class StreamingEM:
         key = ("seg", saturated, first)
         if key not in self._jits:
             from prosper_tpu.core.select import exact_count_mask
+            from prosper_tpu.parallel.mesh import maybe_psum
+
+            rt = self.runtime
+            axis = rt.data_axis if rt is not None else None
+            state_kw = {}
+            if (rt is not None and "state" in rt.axis_names
+                    and rt.mesh.shape["state"] > 1):
+                import inspect
+                if "state_axis" in inspect.signature(
+                        self.model.estep_sums).parameters:
+                    state_kw = {"state_axis": "state",
+                                "n_state_shards": rt.mesh.shape["state"]}
 
             def f(params, y_seg, valid_seg, Fp_seg, sched, rng, thresh,
                   ncut_on, acc=None):
                 n = valid_seg.shape[0]
+                if axis is not None:
+                    # per-shard partial mask, same fold as ETModel.partial_mask
+                    rng_l = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+                else:
+                    rng_l = rng
                 w = jax.lax.cond(
                     sched["partial"] >= 1.0,
                     lambda: valid_seg,
-                    lambda: exact_count_mask(rng, n, sched["partial"],
+                    lambda: exact_count_mask(rng_l, n, sched["partial"],
                                              valid=valid_seg))
                 w = jax.lax.cond(
                     ncut_on > 0,
                     lambda: w * (Fp_seg >= thresh).astype(jnp.float32),
                     lambda: w)
                 F, sums = self.model.estep_sums(params, y_seg, w, sched,
-                                                saturated=saturated)
+                                                saturated=saturated,
+                                                **state_kw)
+                # data-axis (and state-axis) reduction INSIDE the mapped fn
+                # so the returned sums are replicated and the accumulator /
+                # finalize stay mesh-agnostic
+                sums = jax.tree_util.tree_map(
+                    lambda a: maybe_psum(a, axis), sums)
+                if state_kw:
+                    sums = jax.tree_util.tree_map(
+                        lambda a: jax.lax.psum(a, "state"), sums)
                 if acc is not None:
                     sums = jax.tree_util.tree_map(jnp.add, acc, sums)
                 return F, sums
-            self._jits[key] = jax.jit(f)
+
+            if rt is None:
+                self._jits[key] = jax.jit(f)
+            else:
+                from jax.sharding import PartitionSpec as P
+                n_in = 9 if not first else 8
+                in_specs = (P(), P(axis), P(axis), P(axis),
+                            P(), P(), P(), P()) + ((P(),) if not first
+                                                   else ())
+                assert len(in_specs) == n_in
+                mapped = jax.shard_map(
+                    f, mesh=rt.mesh, in_specs=in_specs,
+                    out_specs=(P(axis), P()), check_vma=False)
+                self._jits[key] = jax.jit(mapped)
         return self._jits[key]
 
     def _finalize(self):
@@ -220,13 +276,18 @@ class StreamingEM:
         valid[:n_real] = 1.0
         return y_seg, valid, lo, n_real
 
+    def _dev_put(self, a):
+        if self.runtime is not None:
+            return jax.device_put(a, self.runtime.data_sharding())
+        return jax.device_put(a)
+
     def _put(self, k: int, need_fp: bool):
         if k in self._seg_cache:
             (y_dev, v_dev), lo, n_real = self._seg_cache[k]
         else:
             y_seg, valid, lo, n_real = self._host_segment(k)
-            y_dev = jax.device_put(y_seg)
-            v_dev = jax.device_put(valid)
+            y_dev = self._dev_put(y_seg)
+            v_dev = self._dev_put(valid)
             if self._cache_all:
                 self._seg_cache[k] = ((y_dev, v_dev), lo, n_real)
         # F_prev re-uploads only while the Ncut threshold consumes it —
@@ -237,10 +298,10 @@ class StreamingEM:
             fp = self.F_prev[lo:lo + n_real]
             if n_real != self.seg_size:
                 fp = np.pad(fp, (0, self.seg_size - n_real))
-            fp_dev = jax.device_put(fp)
+            fp_dev = self._dev_put(fp)
         else:
             if "zeros_fp" not in self._jits:
-                self._jits["zeros_fp"] = jax.device_put(
+                self._jits["zeros_fp"] = self._dev_put(
                     np.zeros((self.seg_size,), np.float32))
             fp_dev = self._jits["zeros_fp"]
         return (y_dev, v_dev, fp_dev), lo, n_real

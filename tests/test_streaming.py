@@ -209,3 +209,36 @@ def test_streaming_checkpoint_resume_equivalence(tmp_path):
     for k in p_ref:
         np.testing.assert_allclose(np.asarray(p_ref[k]), np.asarray(p_res[k]),
                                    rtol=1e-6, atol=1e-7, err_msg=k)
+
+
+@pytest.mark.parametrize("mesh_shape,axes", [((8,), ("data",)),
+                                             ((4, 2), ("data", "state"))])
+def test_streaming_over_mesh_matches_single_device(mesh_shape, axes):
+    """Round 4: StreamingEM(runtime=...) shards each segment over the mesh
+    data axis (shard_map'd E-step, psum'd suff stats) — and over the state
+    axis on a ('data','state') mesh — matching the single-device streamed
+    trajectory (f32 reduction order aside)."""
+    from prosper_tpu.parallel.mesh import MeshRuntime
+
+    model = BSC(16, 8, 5, 3, chunk=16)
+    gt = bars_gt_params(model, intensity=10.0, sigma=1.0)
+    data = model.generate_data(gt, 512, seed=71)
+    p0 = model.standard_init(data, seed=72)
+
+    s1 = StreamingEM(model, _anneal(5), data["y"], seg_size=128,
+                     params=dict(p0), seed=17)
+    p_single = s1.run()
+
+    rt = MeshRuntime(mesh_shape=mesh_shape, axis_names=axes)
+    s2 = StreamingEM(model, _anneal(5), data["y"], seg_size=128,
+                     params=dict(p0), seed=17, runtime=rt)
+    assert s2.seg_size % (model.chunk * rt.n_data_shards) == 0
+    p_mesh = s2.run()
+
+    for k in p_single:
+        np.testing.assert_allclose(
+            np.asarray(p_single[k]), np.asarray(p_mesh[k]),
+            rtol=5e-4, atol=1e-4, err_msg=k)
+    n1 = [h["n_used"] for h in s1.history]
+    n2 = [h["n_used"] for h in s2.history]
+    np.testing.assert_array_equal(n1, n2)
