@@ -332,12 +332,35 @@ def _chunk_gsc_estats(y, w, W, gram, gram_diag, sigma2, pi, mu, psi,
 
     P = jnp.dot(y, W, preferred_element_type=f32)                       # (C,H)
     w_norm = jnp.sqrt(jnp.maximum(gram_diag, 1e-30))
-    from prosper_tpu.core.select import top_hprime_candidates_dense
-    cand, onehot = top_hprime_candidates_dense(P, w_norm, Hp, signed=True)
-    proj = jnp.einsum("nah,nh->na", onehot, P)                          # (C,Hp)
-    T = jnp.dot(onehot.reshape(C * Hp, H), gram,
-                preferred_element_type=f32).reshape(C, Hp, H)
-    G = jnp.einsum("nak,nbk->nab", T, onehot)                           # (C,Hp,Hp)
+    if batch_last:
+        # per-slot formulation (round 4, HLO-trace-driven): the stacked
+        # (C,Hp,H) one-hot and the batched (C,Hp,Hp) T/G einsums lowered to
+        # batch-in-sublanes emitters bracketed by layout copies — 3.7 ms of
+        # copies + 3.7 ms of tiny batched GEMMs per 11 ms step (x16 chunks,
+        # tools/profile_gsc_step.py).  Unrolling the Hp axis keeps every op
+        # a large (C,H) GEMM or a fused lane-reduction in the SAME layout
+        # class as P = y @ W: no copies, MXU-shaped work only.
+        from prosper_tpu.core.select import top_hprime_candidate_slots
+        _, hots = top_hprime_candidate_slots(P, w_norm, Hp, signed=True)
+        Ts = [jnp.dot(hots[a], gram, preferred_element_type=f32)
+              for a in range(Hp)]                                   # Hp x (C,H)
+        proj = jnp.stack([jnp.sum(hots[a] * P, axis=1)
+                          for a in range(Hp)], axis=1)                  # (C,Hp)
+        Gcols = [None] * (Hp * Hp)
+        for a in range(Hp):
+            for b in range(a + 1):
+                gab = jnp.sum(Ts[a] * hots[b], axis=1)                  # (C,)
+                Gcols[a * Hp + b] = gab
+                Gcols[b * Hp + a] = gab
+        G_flat = jnp.stack(Gcols, axis=1)                           # (C,Hp^2)
+    else:
+        from prosper_tpu.core.select import top_hprime_candidates_dense
+        cand, onehot = top_hprime_candidates_dense(P, w_norm, Hp,
+                                                   signed=True)
+        proj = jnp.einsum("nah,nh->na", onehot, P)                      # (C,Hp)
+        T = jnp.dot(onehot.reshape(C * Hp, H), gram,
+                    preferred_element_type=f32).reshape(C, Hp, H)
+        G = jnp.einsum("nak,nbk->nab", T, onehot)                   # (C,Hp,Hp)
 
     act = (states_l > 0.5).astype(f32)                                  # (S,Hp)
     k_s = absst                                                         # (S,)
@@ -371,7 +394,6 @@ def _chunk_gsc_estats(y, w, W, gram, gram_diag, sigma2, pi, mu, psi,
                 level_defs.append((off, S_m, m, E, EE))
         else:
             level_defs = shard_levels
-        G_flat = G.reshape(C, Hp * Hp)
         bsrc = proj * inv_s2 + mu * inv_psi                             # (C,Hp)
         logdet_parts, bMb_parts = [], []
         level_data = []          # (off, S_m, m, E, EE, kap, Sig entries)
@@ -494,7 +516,6 @@ def _chunk_gsc_estats(y, w, W, gram, gram_diag, sigma2, pi, mu, psi,
                             .reshape(S_m, Hp * Hp))
                     szsz_flat = szsz_flat + jnp.dot(
                         val, ee, preferred_element_type=f32)
-        szsz_cand = szsz_flat.reshape(C, Hp, Hp)                        # (C,Hp,Hp)
     else:
         sz_cand = jnp.einsum("ns,nsh->nh", q_multi, kappa)              # (C,Hp)
         outer = (Sig * act_ab[None]
@@ -506,16 +527,36 @@ def _chunk_gsc_estats(y, w, W, gram, gram_diag, sigma2, pi, mu, psi,
     szsz_diag_single = q_single * (Sig1[None, :] + kappa1 ** 2)         # (C,H)
 
     # scatters -> one-hot GEMMs (TPU fast path; see core/select.py)
-    sz_full = sz_single + jnp.einsum("na,nah->nh", sz_cand, onehot)
+    if batch_last:
+        # per-slot broadcast scatter: Hp fused (C,H) mult-adds instead of
+        # the batched (C,Hp,H) einsum (layout-copy-free, see above)
+        sz_full = sz_single
+        for a in range(Hp):
+            sz_full = sz_full + hots[a] * sz_cand[:, a][:, None]
+    else:
+        sz_full = sz_single + jnp.einsum("na,nah->nh", sz_cand, onehot)
 
     sw = sz_full * wv[:, None]
     sum_xs = jnp.dot(y.T, sw, preferred_element_type=f32)               # (D,H)
     sum_s = jnp.sum(sw, axis=0)                                         # (H,)
     sum_ss_diag = jnp.sum(szsz_diag_single * wv[:, None], axis=0)       # (H,)
 
-    ssw = szsz_cand * wv[:, None, None]
-    T2 = jnp.einsum("nab,nbh->nah", ssw, onehot)                        # (C,Hp,H)
-    sum_ss = jnp.einsum("nah,nak->hk", onehot, T2)                      # (H,H)
+    if batch_last:
+        # sum_ss[h,k] = sum_n sum_ab oh_a[n,h] ssw[n,ab] oh_b[n,k] as Hp
+        # plain (H,C)x(C,H) GEMMs over fused per-slot (C,H) intermediates
+        ssw = szsz_flat * wv[:, None]                               # (C,Hp^2)
+        sum_ss = jnp.zeros((H, H), f32)
+        for a in range(Hp):
+            T2a = jnp.zeros((C, H), f32)
+            for b in range(Hp):
+                T2a = T2a + hots[b] * ssw[:, a * Hp + b][:, None]
+            sum_ss = sum_ss + jax.lax.dot_general(
+                hots[a], T2a, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+    else:
+        ssw = szsz_cand * wv[:, None, None]
+        T2 = jnp.einsum("nab,nbh->nah", ssw, onehot)                # (C,Hp,H)
+        sum_ss = jnp.einsum("nah,nak->hk", onehot, T2)              # (H,H)
     sum_ss = sum_ss + jnp.diag(sum_ss_diag)
 
     abs_n = jnp.sum(q_single, axis=1) + jnp.dot(

@@ -75,6 +75,35 @@ def top_hprime_candidates_dense(P_full: jnp.ndarray, w_norm: jnp.ndarray,
     return cand, onehot
 
 
+def top_hprime_candidate_slots(P_full: jnp.ndarray, w_norm: jnp.ndarray,
+                               Hp: int, signed: bool):
+    """Top-H' candidates as Hp separate per-slot (N, H) one-hot masks.
+
+    Same selection as `top_hprime_candidates_dense` but WITHOUT stacking the
+    hits into the (N, Hp, H) tensor: the GSC E-step (core/gscstep.py) showed
+    that every consumer of the stacked tensor lowers to a batch-in-sublanes
+    emitter bracketed by layout copies (~34% of its device time, HLO trace
+    round 4), while the per-slot (N, H) masks keep every downstream
+    gather/scatter a plain large GEMM in the same layout class as ``y @ W``.
+    Returns (cand (N,Hp) int32, hots: list of Hp (N,H) float32 masks).
+    """
+    N, H = P_full.shape
+    score = P_full / jnp.maximum(w_norm, 1e-12)[None, :]
+    if signed:
+        score = jnp.abs(score)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (N, H), 1)
+    cands = []
+    hots = []
+    s = score
+    for _ in range(Hp):
+        i = jnp.argmax(s, axis=1).astype(jnp.int32)                  # (N,)
+        hit = iota == i[:, None]                                     # (N,H)
+        cands.append(i)
+        hots.append(hit.astype(jnp.float32))
+        s = jnp.where(hit, -jnp.inf, s)
+    return jnp.stack(cands, axis=1), hots
+
+
 def top_l_argmax(q: jnp.ndarray, L: int):
     """``lax.top_k`` replacement via L iterated argmaxes (decode hot path).
 
