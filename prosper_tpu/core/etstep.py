@@ -108,6 +108,65 @@ def slice_state_shard(state_axis, n_state_shards: int, arrays):
     return [sl(a) for a in arrays], svalid, own_zs
 
 
+def per_slot_candidates(P, w_norm, Hp: int, signed_select: bool, gram):
+    """Candidate selection + Gram machinery in the per-slot formulation.
+
+    Round 4, HLO-trace-driven (tools/profile_gsc_step.py): the stacked
+    (C,Hp,H) one-hot and the batched (C,Hp,H)/(C,Hp,Hp) T/G einsums lower
+    to batch-in-sublanes emitters bracketed by layout copies (~34% of the
+    GSC step's device time).  Unrolling the tiny Hp axis keeps every op a
+    large (C,H) GEMM or a fused lane reduction in the same layout class as
+    ``P = y @ W`` — no copies, MXU-shaped work only.
+
+    Returns (cand (C,Hp) int32, hots [Hp x (C,H) f32], proj (C,Hp),
+    Gf (C,Hp^2) with Gf[:, a*Hp+b] = w_cand_a . w_cand_b).
+    """
+    from prosper_tpu.core.select import top_hprime_candidate_slots
+
+    f32 = jnp.float32
+    Hp = int(Hp)
+    cand, hots = top_hprime_candidate_slots(P, w_norm, Hp, signed_select)
+    Ts = [jnp.dot(hots[a], gram, preferred_element_type=f32)
+          for a in range(Hp)]                                    # Hp x (C,H)
+    proj = jnp.stack([jnp.sum(hots[a] * P, axis=1)
+                      for a in range(Hp)], axis=1)                   # (C,Hp)
+    cols = [None] * (Hp * Hp)
+    for a in range(Hp):
+        for b in range(a + 1):
+            gab = jnp.sum(Ts[a] * hots[b], axis=1)                   # (C,)
+            cols[a * Hp + b] = gab
+            cols[b * Hp + a] = gab
+    Gf = jnp.stack(cols, axis=1)                                 # (C,Hp^2)
+    return cand, hots, proj, Gf
+
+
+def slot_scatter_vec(base, vals, hots):
+    """base (C,H) + sum_a hots[a] * vals[:,a] — the candidate-frame ->
+    full-H scatter as Hp fused (C,H) broadcast mult-adds (layout-copy-free
+    replacement of the einsum against the stacked one-hot)."""
+    out = base
+    for a, hot in enumerate(hots):
+        out = out + hot * vals[:, a][:, None]
+    return out
+
+
+def slot_scatter_mat(ssw, hots, H: int):
+    """sum_ss[h,k] = sum_n sum_ab hots[a][n,h] ssw[n,a*Hp+b] hots[b][n,k]
+    as Hp plain (H,C)x(C,H) GEMMs over fused per-slot intermediates."""
+    f32 = jnp.float32
+    Hp = len(hots)
+    C = ssw.shape[0]
+    out = jnp.zeros((H, H), f32)
+    for a in range(Hp):
+        T2a = jnp.zeros((C, H), f32)
+        for b in range(Hp):
+            T2a = T2a + hots[b] * ssw[:, a * Hp + b][:, None]
+        out = out + jax.lax.dot_general(
+            hots[a], T2a, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+    return out
+
+
 def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArrays,
                   Hp: int, signed_select: bool, beta, prior_beta,
                   state_axis=None, n_state_shards: int = 1,
@@ -153,20 +212,16 @@ def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArr
     if dense_gather:
         # TPU fast path: index gathers/scatters lower to pathologically slow
         # HLO on TPU (profiled ~50x the GEMM cost), so candidate selection
-        # produces a one-hot matrix and every gather becomes an MXU matmul.
-        from prosper_tpu.core.select import top_hprime_candidates_dense
-        cand, onehot = top_hprime_candidates_dense(P, w_norm, Hp,
-                                                   signed_select)
-        proj = jnp.einsum("nah,nh->na", onehot, P)                      # (C, Hp)
-        T = jnp.dot(onehot.reshape(C * Hp, H), gram,
-                    preferred_element_type=f32).reshape(C, Hp, H)
-        G = jnp.einsum("nak,nbk->nab", T, onehot)                       # (C,Hp,Hp)
+        # produces per-slot one-hot masks and every gather becomes an MXU
+        # matmul / fused lane reduction (see per_slot_candidates).
+        cand, hots, proj, Gf = per_slot_candidates(P, w_norm, Hp,
+                                                   signed_select, gram)
+        G = Gf.reshape(C, Hp, Hp) if collect_phi else None
     else:
         cand = top_hprime_candidates(P, w_norm, Hp, signed_select)      # (C, Hp)
-        onehot = None
         proj = jnp.take_along_axis(P, cand, axis=1)                     # (C, Hp)
         G = gram[cand[:, :, None], cand[:, None, :]]                    # (C,Hp,Hp)
-    Gf = G.reshape(C, Hp * Hp)
+        Gf = G.reshape(C, Hp * Hp)
 
     # ---- local slice of the enumerated states -------------------------------
     if state_axis is not None and n_state_shards > 1:
@@ -257,11 +312,9 @@ def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArr
 
     wv = w.astype(f32)
     if dense_gather:
-        # scatters -> GEMMs against the candidate one-hot matrix
-        s_full = s_single + jnp.einsum("na,nah->nh", s_cand, onehot)     # (C, H)
-        ss3w = ss_cand.reshape(C, Hp, Hp) * wv[:, None, None]
-        T2 = jnp.einsum("nab,nbh->nah", ss3w, onehot)                    # (C,Hp,H)
-        sum_ss = jnp.einsum("nah,nak->hk", onehot, T2)                   # (H, H)
+        # scatters -> per-slot fused mult-adds + plain GEMMs (copy-free)
+        s_full = slot_scatter_vec(s_single, s_cand, hots)                # (C, H)
+        sum_ss = slot_scatter_mat(ss_cand * wv[:, None], hots, H)        # (H, H)
     else:
         # flat 1-D scatters (far better than broadcasting-index scatters,
         # which showed pathological compile times on some backends)
@@ -365,13 +418,8 @@ def _chunk_estats_bigs(y, w, W, gram, gram_diag, sigma2, log_odds,
     else:
         P = jnp.dot(y, W, preferred_element_type=f32)                # (C, H)
     w_norm = jnp.sqrt(jnp.maximum(gram_diag, 1e-30))
-    from prosper_tpu.core.select import top_hprime_candidates_dense
-    cand, onehot = top_hprime_candidates_dense(P, w_norm, Hp, signed_select)
-    proj = jnp.einsum("nah,nh->na", onehot, P)                       # (C, Hp)
-    T = jnp.dot(onehot.reshape(C * Hp, H), gram,
-                preferred_element_type=f32).reshape(C, Hp, H)
-    G = jnp.einsum("nak,nbk->nab", T, onehot)
-    Gf = G.reshape(C, Hp * Hp)
+    cand, hots, proj, Gf = per_slot_candidates(P, w_norm, Hp, signed_select,
+                                               gram)
 
     # ---- zero + singleton part (small: 1 + H*K columns), rank-0-owned ------
     if sharded:
@@ -515,10 +563,8 @@ def _chunk_estats_bigs(y, w, W, gram, gram_diag, sigma2, log_odds,
     wv = w.astype(f32)
     s_single = q_single @ v
     ss_diag_single = q_single @ (v ** 2)
-    s_full = s_single + jnp.einsum("na,nah->nh", s_cand, onehot)
-    ss3w = ss_cand.reshape(C, Hp, Hp) * wv[:, None, None]
-    T2 = jnp.einsum("nab,nbh->nah", ss3w, onehot)
-    sum_ss = jnp.einsum("nah,nak->hk", onehot, T2)
+    s_full = slot_scatter_vec(s_single, s_cand, hots)
+    sum_ss = slot_scatter_mat(ss_cand * wv[:, None], hots, H)
     sw = s_full * wv[:, None]
     if compute_dtype is not None:
         sum_xs = jnp.dot(y.T.astype(compute_dtype), sw.astype(compute_dtype),
@@ -710,8 +756,20 @@ def top_states_outputs(q: jnp.ndarray, L: int, H: int, K: int,
     if dense:
         single_vec = jax.nn.one_hot(sh, H, dtype=f32) * sv[..., None]
         mcv = multi_states[s_idx] * is_multi[..., None]   # (N, L, Hp)
-        multi_vec = jnp.einsum("nla,nah->nlh", mcv, onehot)
-        return {"top_probs": top_q, "top_states": single_vec + multi_vec}
+        if isinstance(onehot, (list, tuple)):
+            # per-slot fused scatter (round 4): Hp broadcast mult-adds on
+            # the (N, L, H) output — no stacked (N, Hp, H) tensor, no
+            # batched-GEMM emitter (which forced layout copies in HLO)
+            out = single_vec
+            for a, hot in enumerate(onehot):
+                out = out + mcv[:, :, a][:, :, None] * hot[:, None, :]
+        else:
+            out = single_vec + jnp.einsum("nla,nah->nlh", mcv, onehot)
+        # _T convention (see chunked_decode): without it the (C, L, H)
+        # per-chunk tensor stacks into an RMW-amplified loop buffer —
+        # 11.3 ms of the 37 ms dense decode in the round-4 device trace
+        return {"top_probs_T": top_q.T,
+                "top_states_T": jnp.transpose(out, (1, 2, 0))}
     # compact: states gathered by one-hot GEMM (index gathers from the
     # (S, Hp) table measured ~40% slower, tools/ablate_decode.py); outputs
     # transposed (datapoint dim last) per the chunked_decode _T convention
@@ -792,14 +850,8 @@ def _linear_et_posterior_chunk(y: jnp.ndarray, W: jnp.ndarray,
     inv2s2 = 0.5 / sigma2
     P = jnp.dot(y, W, preferred_element_type=f32)
     w_norm = jnp.sqrt(jnp.maximum(gram_diag, 1e-30))
-    from prosper_tpu.core.select import top_hprime_candidates_dense
-    cand, onehot = top_hprime_candidates_dense(P, w_norm, Hp, signed_select)
-
-    proj = jnp.einsum("nah,nh->na", onehot, P)
-    T = jnp.dot(onehot.reshape(N * Hp, H), gram,
-                preferred_element_type=f32).reshape(N, Hp, H)
-    G = jnp.einsum("nak,nbk->nab", T, onehot)
-    Gf = G.reshape(N, Hp * Hp)
+    cand, hots, proj, Gf = per_slot_candidates(P, w_norm, Hp, signed_select,
+                                               gram)
     lik_multi = (2.0 * jnp.dot(proj, sa.states.T, preferred_element_type=f32)
                  - jnp.dot(Gf, sa.outer.T, preferred_element_type=f32)) * inv2s2
     prior_multi = sa.value_counts @ log_odds
@@ -829,10 +881,10 @@ def _linear_et_posterior_chunk(y: jnp.ndarray, W: jnp.ndarray,
     q_single = q[:, 1:1 + H * K].reshape(N, H, K)
     q_multi = q[:, 1 + H * K:]
     s_cand = jnp.dot(q_multi, sa.states, preferred_element_type=f32)
-    s_meanT = (q_single @ v).T + jnp.einsum("na,nah->hn", s_cand, onehot)
+    s_meanT = slot_scatter_vec(q_single @ v, s_cand, hots).T
     reconT = jnp.dot(W, s_meanT, preferred_element_type=f32)     # (D, C)
 
-    out = top_states_outputs(q, top_L, H, K, v, sa.states, onehot,
+    out = top_states_outputs(q, top_L, H, K, v, sa.states, hots,
                              dense_states)
     if not dense_states:
         out["cand_T"] = cand.T

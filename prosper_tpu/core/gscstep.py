@@ -337,22 +337,10 @@ def _chunk_gsc_estats(y, w, W, gram, gram_diag, sigma2, pi, mu, psi,
         # (C,Hp,H) one-hot and the batched (C,Hp,Hp) T/G einsums lowered to
         # batch-in-sublanes emitters bracketed by layout copies — 3.7 ms of
         # copies + 3.7 ms of tiny batched GEMMs per 11 ms step (x16 chunks,
-        # tools/profile_gsc_step.py).  Unrolling the Hp axis keeps every op
-        # a large (C,H) GEMM or a fused lane-reduction in the SAME layout
-        # class as P = y @ W: no copies, MXU-shaped work only.
-        from prosper_tpu.core.select import top_hprime_candidate_slots
-        _, hots = top_hprime_candidate_slots(P, w_norm, Hp, signed=True)
-        Ts = [jnp.dot(hots[a], gram, preferred_element_type=f32)
-              for a in range(Hp)]                                   # Hp x (C,H)
-        proj = jnp.stack([jnp.sum(hots[a] * P, axis=1)
-                          for a in range(Hp)], axis=1)                  # (C,Hp)
-        Gcols = [None] * (Hp * Hp)
-        for a in range(Hp):
-            for b in range(a + 1):
-                gab = jnp.sum(Ts[a] * hots[b], axis=1)                  # (C,)
-                Gcols[a * Hp + b] = gab
-                Gcols[b * Hp + a] = gab
-        G_flat = jnp.stack(Gcols, axis=1)                           # (C,Hp^2)
+        # tools/profile_gsc_step.py).  Shared machinery: core/etstep.py.
+        from prosper_tpu.core.etstep import per_slot_candidates
+        _, hots, proj, G_flat = per_slot_candidates(P, w_norm, Hp, True,
+                                                    gram)
     else:
         from prosper_tpu.core.select import top_hprime_candidates_dense
         cand, onehot = top_hprime_candidates_dense(P, w_norm, Hp,
@@ -528,11 +516,10 @@ def _chunk_gsc_estats(y, w, W, gram, gram_diag, sigma2, pi, mu, psi,
 
     # scatters -> one-hot GEMMs (TPU fast path; see core/select.py)
     if batch_last:
-        # per-slot broadcast scatter: Hp fused (C,H) mult-adds instead of
-        # the batched (C,Hp,H) einsum (layout-copy-free, see above)
-        sz_full = sz_single
-        for a in range(Hp):
-            sz_full = sz_full + hots[a] * sz_cand[:, a][:, None]
+        # per-slot fused scatters (layout-copy-free; shared w/ etstep.py)
+        from prosper_tpu.core.etstep import (slot_scatter_mat,
+                                             slot_scatter_vec)
+        sz_full = slot_scatter_vec(sz_single, sz_cand, hots)
     else:
         sz_full = sz_single + jnp.einsum("na,nah->nh", sz_cand, onehot)
 
@@ -542,17 +529,7 @@ def _chunk_gsc_estats(y, w, W, gram, gram_diag, sigma2, pi, mu, psi,
     sum_ss_diag = jnp.sum(szsz_diag_single * wv[:, None], axis=0)       # (H,)
 
     if batch_last:
-        # sum_ss[h,k] = sum_n sum_ab oh_a[n,h] ssw[n,ab] oh_b[n,k] as Hp
-        # plain (H,C)x(C,H) GEMMs over fused per-slot (C,H) intermediates
-        ssw = szsz_flat * wv[:, None]                               # (C,Hp^2)
-        sum_ss = jnp.zeros((H, H), f32)
-        for a in range(Hp):
-            T2a = jnp.zeros((C, H), f32)
-            for b in range(Hp):
-                T2a = T2a + hots[b] * ssw[:, a * Hp + b][:, None]
-            sum_ss = sum_ss + jax.lax.dot_general(
-                hots[a], T2a, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32)
+        sum_ss = slot_scatter_mat(szsz_flat * wv[:, None], hots, H)
     else:
         ssw = szsz_cand * wv[:, None, None]
         T2 = jnp.einsum("nab,nbh->nah", ssw, onehot)                # (C,Hp,H)
@@ -609,12 +586,9 @@ def _gsc_posterior_chunk(y: jnp.ndarray, W: jnp.ndarray, sigma2, pi, mu, psi,
 
     P = jnp.dot(y, W, preferred_element_type=f32)
     w_norm = jnp.sqrt(jnp.maximum(gram_diag, 1e-30))
-    from prosper_tpu.core.select import top_hprime_candidates_dense
-    cand, onehot = top_hprime_candidates_dense(P, w_norm, Hp, signed=True)
-    proj = jnp.einsum("nah,nh->na", onehot, P)
-    T = jnp.dot(onehot.reshape(N * Hp, H), gram,
-                preferred_element_type=f32).reshape(N, Hp, H)
-    G = jnp.einsum("nak,nbk->nab", T, onehot)
+    from prosper_tpu.core.etstep import per_slot_candidates
+    cand, hots, proj, Gf = per_slot_candidates(P, w_norm, Hp, True, gram)
+    G = Gf.reshape(N, Hp, Hp)
 
     act = (sa.states > 0.5).astype(f32)
     k_s = sa.abs_states
@@ -654,17 +628,16 @@ def _gsc_posterior_chunk(y: jnp.ndarray, W: jnp.ndarray, sigma2, pi, mu, psi,
     q_multi = q[:, 1 + H:]
     # support posterior p(b_h = 1 | y); posterior means computed with the
     # datapoint dim LAST (_T convention, chunked_decode round-3 decode fix)
+    from prosper_tpu.core.etstep import slot_scatter_vec, top_states_outputs
     b_cand = jnp.dot(q_multi, act, preferred_element_type=f32)
-    b_meanT = q_single.T + jnp.einsum("na,nah->hn", b_cand, onehot)
+    b_meanT = slot_scatter_vec(q_single, b_cand, hots).T
     # slab means <s_h z_h>
     sz_cand = jnp.einsum("ns,nsh->nh", q_multi, kappa)
-    sz_meanT = ((q_single * kappa1).T
-                + jnp.einsum("na,nah->hn", sz_cand, onehot))
+    sz_meanT = slot_scatter_vec(q_single * kappa1, sz_cand, hots).T
     reconT = jnp.dot(W, sz_meanT, preferred_element_type=f32)    # (D, C)
 
-    from prosper_tpu.core.etstep import top_states_outputs
     out = top_states_outputs(q, top_L, H, 1, jnp.ones((1,), f32), act,
-                             onehot, dense_states)
+                             hots, dense_states)
     if not dense_states:
         out["cand_T"] = cand.T
     out.update({"b_mean_T": b_meanT, "s_mean_T": sz_meanT,
