@@ -339,10 +339,10 @@ def main():
     # linear families (apples-to-apples matrix) with MFU fields; the old
     # D=64 H=100 config stays as gsc_small for cross-round continuity.
     run_family("gsc", lambda: GSC(D, H, 6, 3, chunk=CHUNK), N_TPU,
-               iters=3, flops=lambda m: gsc_flops_per_dp(
+               iters=ITERS, flops=lambda m: gsc_flops_per_dp(
                    D, H, 6, m.sa.states.shape[0]))
     run_family("gsc_small", lambda: GSC(64, 100, 6, 3, chunk=8192), 262144,
-               iters=3, flops=lambda m: gsc_flops_per_dp(
+               iters=ITERS, flops=lambda m: gsc_flops_per_dp(
                    64, 100, 6, m.sa.states.shape[0]))
     # max family at the same patches-scale config (round 4): fused VMEM
     # winner-lattice kernel (ops/max_pallas.py) vs the XLA tile path
@@ -357,7 +357,7 @@ def main():
                 params = model.standard_init(
                     {"y": np.random.default_rng(2).standard_normal(
                         (256, model.D)).astype(np.float32)}, seed=4)
-                bks[backend] = _measure_step(model, params, 131072, 3,
+                bks[backend] = _measure_step(model, params, 131072, ITERS,
                                              groups=2)
             except Exception as e:                  # noqa: BLE001
                 print(f"[bench] {name}/{backend} failed: {e!r}",
@@ -375,7 +375,7 @@ def main():
         run_family(
             name, lambda cls=cls: cls(64, 100, 6, 3, chunk=8192,
                                       backend="pallas"),
-            262144, iters=3,
+            262144, iters=ITERS,
             flops=lambda m: max_flops_per_dp(64, 100, 6,
                                              m.sa.states.shape[0]),
             backend_note="pallas")
@@ -397,7 +397,7 @@ def main():
             tf = ((lambda y: np.abs(np.floor(y * 3)).astype(np.float32))
                   if mix_name == "mop" else None)
             families[mix_name] = _family_entry(
-                _measure_step(model, params, 524288, 3, groups=2,
+                _measure_step(model, params, 524288, ITERS, groups=2,
                               data_tf=tf), mix_flops_per_dp(D, H))
         except Exception as e:                      # noqa: BLE001
             print(f"[bench] {mix_name} failed: {e!r}", file=sys.stderr)
