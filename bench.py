@@ -34,6 +34,12 @@ D, H, Hp, GAMMA = 256, 300, 8, 4        # headline: BSC patches config
 N_TPU = 131072
 CHUNK = 8192
 N_CPU = 2048
+#: protocol note (advisor round 4): GSC/max/mixture families moved from
+#: iters=3 to ITERS=10 in round 4 alongside the per-slot optimization, so
+#: wall dp/s deltas vs rounds <= 3 partially conflate the protocol change
+#: with the code change; device traces isolate the code effect (GSC
+#: 11.1 -> 7.6 ms/step ~ 1.46x).  Cross-round comparisons should use
+#: BENCH_r04.json onward, which all measure at ITERS=10.
 ITERS = 10
 
 #: v5e bf16 peak (the MXU rate every GEMM here runs at under default

@@ -216,7 +216,6 @@ def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArr
         # matmul / fused lane reduction (see per_slot_candidates).
         cand, hots, proj, Gf = per_slot_candidates(P, w_norm, Hp,
                                                    signed_select, gram)
-        G = Gf.reshape(C, Hp, Hp) if collect_phi else None
     else:
         cand = top_hprime_candidates(P, w_norm, Hp, signed_select)      # (C, Hp)
         proj = jnp.take_along_axis(P, cand, axis=1)                     # (C, Hp)
@@ -363,11 +362,22 @@ def _chunk_estats(y, w, W, gram, gram_diag, sigma2, log_odds, sa: LinearStateArr
         # Multi-state part uses the candidate-space posterior; singletons
         # contribute only to the diagonal (one active unit).
         so = jnp.asarray(slot_onehot)                       # (S_loc, Hp, K)
-        # Qsel[n,a,k] = sum_s q_multi[n,s] so[s,a,k]
-        Qsel = jnp.einsum("ns,sak->nak", q_multi, so)
+        S_loc = so.shape[0]
+        # Qsel[n,a,k] = sum_s q_multi[n,s] so[s,a,k] — one flat (C,S)x(S,Hp*K)
+        # GEMM instead of a batched einsum
+        Qsel = jnp.dot(q_multi, so.reshape(S_loc, Hp * K),
+                       preferred_element_type=f32).reshape(C, Hp, K)
         phi_c_multi = jnp.einsum("nak,na,n->k", Qsel, proj, wv)
-        QG = jnp.einsum("ns,n,nab->sab", q_multi, wv, G)    # (S_loc,Hp,Hp)
-        phi_M_multi = jnp.einsum("sab,sak,sbj->kj", QG, so, so)
+        # per-slot form of the QG contraction (advisor round 4): the C-axis
+        # reduction runs on the FLAT Gf — one (S,C)x(C,Hp^2) GEMM, no
+        # re-materialised (C,Hp,Hp) batch (the batch-in-sublanes layout the
+        # per-slot formulation eliminates elsewhere); the remaining
+        # state-space contraction is tiny (S_loc * Hp^2 * K^2)
+        qw = q_multi * wv[:, None]                           # (C, S_loc)
+        QGf = jax.lax.dot_general(qw, Gf, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=f32)  # (S_loc, Hp^2)
+        phi_M_multi = jnp.einsum("sab,sak,sbj->kj",
+                                 QGf.reshape(S_loc, Hp, Hp), so, so)
         phi_c_single = jnp.einsum("nhk,nh,n->k", q_single, P, wv)
         phi_M_single = jnp.einsum("nhk,h,n->k", q_single, gram_diag, wv)
         sums["phi_c"] = phi_c_multi + own_zs * phi_c_single

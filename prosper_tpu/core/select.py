@@ -55,24 +55,13 @@ def top_hprime_candidates_dense(P_full: jnp.ndarray, w_norm: jnp.ndarray,
 
     Tie behaviour matches lax.top_k (descending score, lowest index first).
     Returns (cand (N,Hp) int32, onehot (N,Hp,H) float32).
+
+    Implemented as a stack over `top_hprime_candidate_slots` so there is ONE
+    selection loop (scoring/tie-breaking cannot drift between the dense and
+    per-slot forms — advisor round 4).
     """
-    N, H = P_full.shape
-    score = P_full / jnp.maximum(w_norm, 1e-12)[None, :]
-    if signed:
-        score = jnp.abs(score)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (N, H), 1)
-    cands = []
-    hots = []
-    s = score
-    for _ in range(Hp):
-        i = jnp.argmax(s, axis=1).astype(jnp.int32)                  # (N,)
-        hit = iota == i[:, None]                                     # (N,H)
-        cands.append(i)
-        hots.append(hit)
-        s = jnp.where(hit, -jnp.inf, s)
-    cand = jnp.stack(cands, axis=1)                                  # (N,Hp)
-    onehot = jnp.stack(hots, axis=1).astype(jnp.float32)             # (N,Hp,H)
-    return cand, onehot
+    cand, hots = top_hprime_candidate_slots(P_full, w_norm, Hp, signed)
+    return cand, jnp.stack(hots, axis=1)                             # (N,Hp,H)
 
 
 def top_hprime_candidate_slots(P_full: jnp.ndarray, w_norm: jnp.ndarray,

@@ -18,7 +18,9 @@ from prosper_tpu.core.select import (top_hprime_candidate_slots,
 C, D, H, Hp = 64, 16, 23, 5
 
 
-def _setup(seed=0, signed=False):
+def _setup(seed=0):
+    # standard-normal P has both signs, so signed (|.|) and unsigned scoring
+    # genuinely select different candidates in the tests below
     rng = np.random.default_rng(seed)
     W = rng.standard_normal((D, H)).astype(np.float32)
     y = rng.standard_normal((C, D)).astype(np.float32)
@@ -30,7 +32,7 @@ def _setup(seed=0, signed=False):
 
 def test_slots_match_dense_selection():
     for signed in (False, True):
-        P, w_norm, gram = _setup(signed=signed)
+        P, w_norm, gram = _setup()
         cand_d, onehot = top_hprime_candidates_dense(P, w_norm, Hp, signed)
         cand_s, hots = top_hprime_candidate_slots(P, w_norm, Hp, signed)
         np.testing.assert_array_equal(np.asarray(cand_d), np.asarray(cand_s))
