@@ -39,6 +39,22 @@ channel is off.  Deviations, documented:
   * when ``partial`` < 1 AND Ncut overlap, the threshold histogram ranks
     all valid rows rather than the partial subset (the in-memory path
     excludes partial-masked rows from the histogram).
+
+Multi-process (round 5, VERDICT r4 #2 — the beyond-HBM x multi-host
+combination, SURVEY.md §5.8 x §0's N >= 1e6 regime): with a MeshRuntime
+whose mesh spans several processes (``jax.distributed``), each process
+streams its OWN ``stride_data`` host shard of the dataset.  Segments
+advance in LOCKSTEP across processes — the per-segment ``shard_map``
+already psums sufficient statistics over the whole mesh, so every process
+must dispatch every segment; processes whose shard is shorter contribute
+pure-padding segments (valid = 0 everywhere).  Host-side global
+reductions (the Ncut threshold's min/max/histogram, the keep count, the
+M-step's N_total) run over ``process_allgather`` with the identical f32
+bin arithmetic, so a P-process streamed run matches the single-process
+streamed trajectory up to collective reduction order.  Rank 0 owns
+checkpoint IO; the checkpoint carries the process_allgather'd global
+F_prev in stride order so a resumed run (same process count) replays the
+uninterrupted trajectory.
 """
 
 from __future__ import annotations
@@ -53,17 +69,39 @@ import numpy as np
 from prosper_tpu.models.base import sched_floats
 
 
+def _process_allreduce(x, op: str):
+    """Reduce a host value across processes (sum/min/max) via
+    ``process_allgather`` — deterministic and identical on every process.
+    f32 histogram sums stay exact (integer-valued counts < 2^24/bin)."""
+    from jax.experimental import multihost_utils
+    g = np.asarray(multihost_utils.process_allgather(np.asarray(x)))
+    if op == "sum":
+        return g.sum(axis=0)
+    if op == "min":
+        return g.min(axis=0)
+    return g.max(axis=0)
+
+
 def host_quantile_threshold(values: np.ndarray, valid: np.ndarray,
                             keep_count: float, rounds: int = 3,
-                            bins: int = 128) -> float:
+                            bins: int = 128, allreduce=None) -> float:
     """Host twin of core/select.py::global_quantile_threshold (f32, same
-    bin arithmetic) so streamed Ncut masks match the device path."""
+    bin arithmetic) so streamed Ncut masks match the device path.
+
+    ``allreduce``: optional ``(x, op) -> x`` with op in {"sum","min","max"}
+    reducing across processes (multi-process streaming: ``values`` holds
+    only this process's rows; the bin counts/extents are combined globally
+    with the identical arithmetic).  None = single-process identity.
+    """
+    red = allreduce if allreduce is not None else (lambda x, _op: x)
     v = values.astype(np.float32, copy=False)
     ok = valid > 0
-    if not ok.any():
+    big = np.float32(3e38)
+    lo = red(np.float32(v[ok].min() if ok.any() else big), "min")
+    hi = red(np.float32(v[ok].max() if ok.any() else -big), "max")
+    if hi < lo:                         # globally nothing valid
         return float("-inf")
-    lo = np.float32(v[ok].min())
-    hi = np.float32(v[ok].max())
+    lo = np.float32(lo)
     hi = np.float32(hi + max(np.float32(1e-6), np.float32(1e-6) * abs(hi)))
     keep = np.float32(keep_count)
     for _ in range(rounds):
@@ -71,6 +109,7 @@ def host_quantile_threshold(values: np.ndarray, valid: np.ndarray,
                                np.float32(1e-30)))
         idx = np.clip(np.floor((v - lo) / width), 0, bins - 1).astype(np.int32)
         hist = np.bincount(idx[ok], minlength=bins).astype(np.float32)[:bins]
+        hist = red(hist, "sum")
         tail = np.cumsum(hist[::-1])[::-1]
         ok_bins = tail >= keep
         b_star = int(np.max(np.where(ok_bins, np.arange(bins), 0)))
@@ -121,28 +160,52 @@ class StreamingEM:
         #: axis (shard_map'd E-step, psum'd sufficient statistics — the
         #: beyond-HBM x multi-chip combination); a ('data','state') mesh
         #: additionally shards the enumerated-state axis for supporting
-        #: models, exactly like EM.  Single-process only in v1 (each
-        #: process would need its own host shard of y).
+        #: models, exactly like EM.  Multi-process: ``y`` is this process's
+        #: ``stride_data`` host shard; see the module docstring.
         self.runtime = runtime
-        if runtime is not None and jax.process_count() > 1:
-            raise NotImplementedError(
-                "multi-process streaming is not supported yet; run one "
-                "StreamingEM per process over its host shard with EM-style "
-                "jax.distributed, or use the in-memory EM")
         self.model = model
         self.anneal = anneal
         self.dlog = dlog
         self.log_params_every = log_params_every
         self.y = y
-        self.N = int(y.shape[0])
+        self.N = int(y.shape[0])            # LOCAL rows (this process's shard)
+        self._mp = runtime is not None and jax.process_count() > 1
+        if self._mp:
+            from jax.experimental import multihost_utils
+            #: per-process shard lengths in process order -> global N and
+            #: this process's row offset in the global stride order (the
+            #: checkpointed F_prev layout)
+            self._n_locals = np.asarray(multihost_utils.process_allgather(
+                np.asarray(self.N, np.int64)))
+            self.N_global = int(self._n_locals.sum())
+            self._row_offset = int(self._n_locals[:jax.process_index()].sum())
+        else:
+            self._n_locals = np.asarray([self.N], np.int64)
+            self.N_global = self.N
+            self._row_offset = 0
         c = max(int(model.chunk), 1)
         if runtime is not None:
-            # every device shard of a segment must be a whole number of
-            # chunks, so segments round to chunk x n_data_shards
-            c *= int(runtime.n_data_shards)
-        seg = min(int(seg_size), self.N)
+            if self._mp:
+                # each process contributes seg_size LOCAL rows to a global
+                # segment of P x seg_size; each device shard then holds
+                # seg_size / n_local_shards rows, which must be whole chunks
+                n_shards = int(runtime.n_data_shards)
+                P_proc = jax.process_count()
+                if n_shards % P_proc:
+                    raise ValueError(
+                        f"data shards ({n_shards}) must divide evenly "
+                        f"across processes ({P_proc}) for streaming")
+                c *= n_shards // P_proc
+            else:
+                # every device shard of a segment must be a whole number of
+                # chunks, so segments round to chunk x n_data_shards
+                c *= int(runtime.n_data_shards)
+        # segment geometry must AGREE across processes (segments advance in
+        # lockstep): derive it from the longest shard, not the local one
+        N_for_seg = int(self._n_locals.max())
+        seg = min(int(seg_size), max(N_for_seg, 1))
         self.seg_size = -(-seg // c) * c
-        self.n_seg = -(-self.N // self.seg_size)
+        self.n_seg = -(-N_for_seg // self.seg_size)
         #: device-cache tier: when the whole dataset fits ``cache_bytes``
         #: of device memory, segments upload ONCE and are reused every
         #: iteration (the host->device stream then costs nothing after
@@ -163,6 +226,14 @@ class StreamingEM:
         if params is None:
             probe = np.asarray(y[: min(self.seg_size, self.N)], np.float32)
             params = model.standard_init({"y": probe}, seed=seed)
+            if self._mp:
+                # every process probed a DIFFERENT local segment; rank 0's
+                # init is broadcast so parameters start replicated (the
+                # SPMD-determinism invariant, parallel/mesh.py)
+                from jax.experimental import multihost_utils
+                params = {k: np.asarray(multihost_utils.broadcast_one_to_all(
+                    np.ascontiguousarray(jax.device_get(v), np.float32)))
+                    for k, v in params.items()}
         self.params = params
         self.history: list = []
         self._jits: Dict = {}
@@ -265,11 +336,16 @@ class StreamingEM:
 
     def _host_segment(self, k: int):
         """(y_seg (seg_size, D) f32 host, valid (seg_size,), lo, n_real) —
-        the tail segment zero-pads to the static shape (valid=0 rows)."""
+        the tail segment zero-pads to the static shape (valid=0 rows).
+        Multi-process: segments past this process's shard are pure padding
+        (a shorter shard still dispatches every lockstep segment)."""
         lo = k * self.seg_size
         hi = min(lo + self.seg_size, self.N)
-        y_seg = np.asarray(self.y[lo:hi], np.float32)
-        n_real = hi - lo
+        n_real = max(hi - lo, 0)
+        if n_real > 0:
+            y_seg = np.asarray(self.y[lo:hi], np.float32)
+        else:
+            y_seg = np.zeros((0, int(self.y.shape[1])), np.float32)
         if n_real < self.seg_size:
             y_seg = np.pad(y_seg, ((0, self.seg_size - n_real), (0, 0)))
         valid = np.zeros((self.seg_size,), np.float32)
@@ -278,8 +354,21 @@ class StreamingEM:
 
     def _dev_put(self, a):
         if self.runtime is not None:
-            return jax.device_put(a, self.runtime.data_sharding())
+            # multi-process aware placement: local rows assemble into the
+            # global data-sharded array (MeshRuntime._put dispatches to
+            # make_array_from_process_local_data when P > 1)
+            return self.runtime._put(a, self.runtime.data_sharding())
         return jax.device_put(a)
+
+    def _local_rows(self, a) -> np.ndarray:
+        """This process's rows of a (possibly cross-process) data-sharded
+        array — the local device shards in global row order (the inverse of
+        the ``_dev_put`` assembly)."""
+        if not self._mp:
+            return np.asarray(jax.device_get(a))
+        shards = sorted(a.addressable_shards,
+                        key=lambda s: (s.index[0].start or 0))
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
     def _put(self, k: int, need_fp: bool):
         if k in self._seg_cache:
@@ -326,9 +415,11 @@ class StreamingEM:
             logA = float(self._logA()(params_n)[0])
             A = np.exp(np.float32(logA))
             frac = 1.0 - (1.0 - A) * np.float32(fl["Ncut_factor"])
-            keep = float(np.ceil(np.float32(frac) * np.float32(self.N)))
+            keep = float(np.ceil(np.float32(frac)
+                                 * np.float32(self.N_global)))
             thresh = host_quantile_threshold(
-                self.F_prev, np.ones((self.N,), np.float32), keep)
+                self.F_prev, np.ones((self.N,), np.float32), keep,
+                allreduce=_process_allreduce if self._mp else None)
         else:
             thresh = float("-inf")
 
@@ -359,17 +450,26 @@ class StreamingEM:
             F_parts.append((lo, n_real, F_seg))
 
         new_params, scalars = self._finalize()(
-            params_n, acc, jnp.float32(self.N))
+            params_n, acc, jnp.float32(self.N_global))
         self.params = new_params
         if need_F:
-            # ONE host fetch per iteration (a per-segment device_get paid a
-            # full relay round trip each — measured in the round-4 bench)
-            F_all = np.asarray(jax.device_get(jnp.concatenate(
-                [f for _, _, f in F_parts])))
-            off = 0
-            for lo, n_real, _ in F_parts:
-                self.F_prev[lo:lo + n_real] = F_all[off:off + n_real]
-                off += self.seg_size
+            if self._mp:
+                # per-segment local-shard extraction (each process owns only
+                # its own rows of the global F; segments past the local
+                # shard are pure padding, n_real = 0)
+                for lo, n_real, f in F_parts:
+                    if n_real > 0:
+                        self.F_prev[lo:lo + n_real] = \
+                            self._local_rows(f)[:n_real]
+            else:
+                # ONE host fetch per iteration (a per-segment device_get
+                # paid a full relay round trip each — round-4 bench)
+                F_all = np.asarray(jax.device_get(jnp.concatenate(
+                    [f for _, _, f in F_parts])))
+                off = 0
+                for lo, n_real, _ in F_parts:
+                    self.F_prev[lo:lo + n_real] = F_all[off:off + n_real]
+                    off += self.seg_size
 
         scalars = {k: float(jax.device_get(v)) for k, v in scalars.items()}
         scalars["iteration"] = self.anneal.position
@@ -385,7 +485,8 @@ class StreamingEM:
                     rec[k] = arr
             self.dlog.append_all(rec)
         if verbose:
-            print(f"[stream-em] iter {self.anneal.position:4d} "
+            from prosper_tpu.parallel.mesh import pprint
+            pprint(f"[stream-em] iter {self.anneal.position:4d} "
                   f"F/N={scalars['F_mean']:+.4f} "
                   f"n_used={scalars['n_used']:.0f} "
                   f"segs={self.n_seg} dt={scalars['dt']*1e3:.0f}ms")
@@ -393,15 +494,32 @@ class StreamingEM:
         self._maybe_checkpoint()
         return scalars
 
+    def _global_F_prev(self) -> np.ndarray:
+        """The global lagged-F array in stride order (multi-process:
+        process_allgather of the per-process host slices — a collective,
+        every process must call together)."""
+        if not self._mp:
+            return self.F_prev
+        from jax.experimental import multihost_utils
+        maxlen = int(self._n_locals.max())
+        buf = np.zeros((maxlen,), np.float32)
+        buf[:self.N] = self.F_prev
+        g = np.asarray(multihost_utils.process_allgather(buf))   # (P, maxlen)
+        return np.concatenate([g[p, :int(n)]
+                               for p, n in enumerate(self._n_locals)])
+
     def _maybe_checkpoint(self) -> None:
         if (self.checkpoint_path and self.checkpoint_every
                 and self.anneal.position - self._last_ckpt
                 >= self.checkpoint_every):
             self._last_ckpt = self.anneal.position
             from prosper_tpu.io import checkpoint
+            # rank 0 writes (checkpoint.save gates); the F_prev payload is
+            # the GLOBAL stride-ordered array so any process layout with
+            # the same shard bounds can resume
             checkpoint.save(self.checkpoint_path, self.params,
                             step=self.anneal.position, rng=self.rng,
-                            extra={"F_prev": self.F_prev})
+                            extra={"F_prev": self._global_F_prev()})
 
     def resume(self, path: str) -> int:
         """Restore params/rng/F_prev from a checkpoint and fast-forward the
@@ -414,8 +532,15 @@ class StreamingEM:
         if rng is not None:
             self.rng = rng
         fp = extra.get("F_prev")
-        if fp is not None and fp.shape[0] == self.N:
-            self.F_prev[:] = fp
+        if fp is not None:
+            if self._mp and fp.shape[0] == self.N_global:
+                # checkpoint holds the global stride-ordered F; this
+                # process's slice starts at its stride offset (resume
+                # requires the same process count / shard bounds as save)
+                self.F_prev[:] = fp[self._row_offset:
+                                    self._row_offset + self.N]
+            elif fp.shape[0] == self.N:
+                self.F_prev[:] = fp
         step = min(int(step), self.anneal.steps)
         self.anneal.reset(step)
         self._last_ckpt = step

@@ -30,31 +30,35 @@ from jax.experimental.pallas import tpu as pltpu
 from prosper_tpu.core.etstep import LinearStateArrays
 
 
-def _kernel(scal_ref, y_ref, w_ref, W_ref, gram_ref, gdiag_ref,
-            states_ref, outer_ref, vcounts_ref, absst_ref, values_ref,
-            log_odds_ref,
-            F_ref, xs_ref, ss_ref, s_ref, misc_ref,
-            *, Ct: int, D: int, H: int, Hp: int, S: int, K: int,
-            signed_select: bool, collect_true: bool):
-    i = pl.program_id(0)
+def _union_softmax(ls_k, lm):
+    """Softmax over the truncated union [zero | K singleton blocks | multi]
+    computed over its parts separately — no concatenation, hence no
+    unaligned lane-dimension slices (which the Mosaic compiler rejects) and
+    no (Ct, 1+H*K+S) buffer.  Returns (q_zero (Ct,1), [q_single_k], q_multi,
+    logZ (Ct,1))."""
+    m = jnp.maximum(jnp.max(lm, axis=1, keepdims=True), 0.0)
+    for ls in ls_k:
+        m = jnp.maximum(m, jnp.max(ls, axis=1, keepdims=True))
+    ps_k = [jnp.exp(ls - m) for ls in ls_k]
+    pm = jnp.exp(lm - m)
+    pz = jnp.exp(-m)
+    Z = pz + jnp.sum(pm, axis=1, keepdims=True)
+    for ps in ps_k:
+        Z = Z + jnp.sum(ps, axis=1, keepdims=True)
+    return pz / Z, [ps / Z for ps in ps_k], pm / Z, m + jnp.log(Z)
+
+
+def _frontend(y, W, gram, gdiag, states, outer, vcounts, values, log_odds,
+              sigma2, beta, prior_beta, *, Ct: int, H: int, Hp: int, K: int,
+              signed_select: bool):
+    """Shared VMEM front end of the train and decode kernels: projection
+    GEMM -> candidate selection (iterated argmax one-hots) -> candidate
+    Gram blocks -> truncated-union logits -> annealed union softmax.
+
+    Returns (P, hots, cand_cols, proj, Gf, lik_single_k, lik_multi,
+    prior_multi, qz, qs_k, qm, logZ)."""
     f32 = jnp.float32
-
-    sigma2 = scal_ref[0, 0]
-    beta = scal_ref[0, 1]
-    prior_beta = scal_ref[0, 2]
     inv2s2 = 0.5 / sigma2
-
-    y = y_ref[:]                                   # (Ct, D)
-    w2 = w_ref[:]                                  # (Ct, 1)
-    W = W_ref[:]                                   # (D, H)
-    gram = gram_ref[:]                             # (H, H)
-    gdiag = gdiag_ref[:]                           # (1, H)
-    states = states_ref[:]                         # (S, Hp)
-    outer = outer_ref[:]                           # (S, Hp*Hp)
-    vcounts = vcounts_ref[:]                       # (S, K)
-    absst = absst_ref[:]                           # (1, S)
-    values = values_ref[:]                         # (1, K)
-    log_odds = log_odds_ref[:]                     # (1, K)
 
     P = jnp.dot(y, W, preferred_element_type=f32)  # (Ct, H)
 
@@ -65,6 +69,7 @@ def _kernel(scal_ref, y_ref, w_ref, W_ref, gram_ref, gdiag_ref,
         score = jnp.abs(score)
     col = jax.lax.broadcasted_iota(jnp.int32, (Ct, H), 1)
     hots = []
+    cand_cols = []
     s_work = score
     for _ in range(Hp):
         mx = jnp.max(s_work, axis=1, keepdims=True)
@@ -73,6 +78,7 @@ def _kernel(scal_ref, y_ref, w_ref, W_ref, gram_ref, gdiag_ref,
         idx = jnp.min(jnp.where(first, col, H), axis=1, keepdims=True)
         hot = (col == idx)
         hots.append(hot.astype(f32))
+        cand_cols.append(idx)
         s_work = jnp.where(hot, -jnp.inf, s_work)
 
     # proj (Ct, Hp) and per-pair Gram entries Gf (Ct, Hp*Hp)
@@ -99,25 +105,45 @@ def _kernel(scal_ref, y_ref, w_ref, W_ref, gram_ref, gdiag_ref,
         (2.0 * P * values[0, k] - gdiag * (values[0, k] ** 2)) * inv2s2
         for k in range(K)]
 
-    # the union softmax is computed over its three parts separately — no
-    # concatenation, hence no unaligned lane-dimension slices (which the
-    # Mosaic compiler rejects) and no (Ct, 1+H*K+S) buffer
     logits_multi = beta * lik_multi + prior_beta * prior_multi[None, :]
     logits_single_k = [beta * lik_single_k[k] + prior_beta * log_odds[0, k]
                        for k in range(K)]
+    qz, qs_k, qm, logZ = _union_softmax(logits_single_k, logits_multi)
+    return (P, hots, cand_cols, proj, Gf, lik_single_k, lik_multi,
+            prior_multi, qz, qs_k, qm, logZ)
 
-    def union_softmax(ls_k, lm):
-        m = jnp.maximum(jnp.max(lm, axis=1, keepdims=True), 0.0)
-        for ls in ls_k:
-            m = jnp.maximum(m, jnp.max(ls, axis=1, keepdims=True))
-        ps_k = [jnp.exp(ls - m) for ls in ls_k]
-        pm = jnp.exp(lm - m)
-        Z = jnp.exp(-m) + jnp.sum(pm, axis=1, keepdims=True)
-        for ps in ps_k:
-            Z = Z + jnp.sum(ps, axis=1, keepdims=True)
-        return [ps / Z for ps in ps_k], pm / Z, m + jnp.log(Z)   # logZ (Ct,1)
 
-    qs_k, qm, logZ = union_softmax(logits_single_k, logits_multi)
+def _kernel(scal_ref, y_ref, w_ref, W_ref, gram_ref, gdiag_ref,
+            states_ref, outer_ref, vcounts_ref, absst_ref, values_ref,
+            log_odds_ref,
+            F_ref, xs_ref, ss_ref, s_ref, misc_ref,
+            *, Ct: int, D: int, H: int, Hp: int, S: int, K: int,
+            signed_select: bool, collect_true: bool):
+    i = pl.program_id(0)
+    f32 = jnp.float32
+
+    sigma2 = scal_ref[0, 0]
+    beta = scal_ref[0, 1]
+    prior_beta = scal_ref[0, 2]
+    inv2s2 = 0.5 / sigma2
+
+    y = y_ref[:]                                   # (Ct, D)
+    w2 = w_ref[:]                                  # (Ct, 1)
+    W = W_ref[:]                                   # (D, H)
+    gram = gram_ref[:]                             # (H, H)
+    gdiag = gdiag_ref[:]                           # (1, H)
+    states = states_ref[:]                         # (S, Hp)
+    outer = outer_ref[:]                           # (S, Hp*Hp)
+    vcounts = vcounts_ref[:]                       # (S, K)
+    absst = absst_ref[:]                           # (1, S)
+    values = values_ref[:]                         # (1, K)
+    log_odds = log_odds_ref[:]                     # (1, K)
+
+    (P, hots, _cand, proj, Gf, lik_single_k, lik_multi, prior_multi,
+     _qz, qs_k, qm, logZ) = _frontend(
+        y, W, gram, gdiag, states, outer, vcounts, values, log_odds,
+        sigma2, beta, prior_beta, Ct=Ct, H=H, Hp=Hp, K=K,
+        signed_select=signed_select)
 
     y2 = jnp.sum(y * y, axis=1, keepdims=True)             # (Ct, 1)
     log_p0 = -jnp.log1p(jnp.sum(jnp.exp(log_odds[0])))
@@ -127,7 +153,7 @@ def _kernel(scal_ref, y_ref, w_ref, W_ref, gram_ref, gdiag_ref,
     if collect_true:
         # un-annealed channel: a SECOND full union softmax — statically
         # dropped in the saturated steady state where F_true == F exactly
-        _, _, logZ_t = union_softmax(
+        _, _, _, logZ_t = _union_softmax(
             [lik_single_k[k] + log_odds[0, k] for k in range(K)],
             lik_multi + prior_multi[None, :])
         F_true = logZ_t - y2 * inv2s2 - log_norm + H * log_p0

