@@ -95,6 +95,192 @@ def numpy_baseline_dps(y, W, sigma, pi):
     return N / dt
 
 
+def _numpy_multi_states(Hp, gamma, values):
+    """(S, Hp) valued multi-states (2 <= |support| <= gamma) + (S, K)
+    per-value counts — the enumeration the reference-equivalent baselines
+    share (SURVEY.md §2 'ET base': state matrix)."""
+    import itertools
+    K = len(values)
+    states, counts = [], []
+    for k in range(2, gamma + 1):
+        for sup in itertools.combinations(range(Hp), k):
+            for assign in itertools.product(range(K), repeat=k):
+                s = np.zeros(Hp)
+                c = np.zeros(K)
+                for slot, vi in zip(sup, assign):
+                    s[slot] = values[vi]
+                    c[vi] += 1
+                states.append(s)
+                counts.append(c)
+    return np.array(states), np.array(counts)
+
+
+def numpy_linear_baseline_dps(y, W, sigma, pi_vec, values, Hp, gamma):
+    """Reference-equivalent vectorized NumPy E-step for the LINEAR family
+    (BSC/TSC/DSC by value set) incl. suff stats — the per-family CPU
+    baseline (round 5, VERDICT r4 #7; generalises the BSC-only
+    numpy_baseline_dps kept above for cross-round continuity)."""
+    N, Dd = y.shape
+    Hh = W.shape[1]
+    K = len(values)
+    vals = np.asarray(values, np.float64)
+    SM, NK = _numpy_multi_states(Hp, gamma, values)
+    pi_vec = np.asarray(pi_vec, np.float64)
+    log_odds = np.log(pi_vec) - np.log(1.0 - pi_vec.sum())
+    inv2s2 = 0.5 / sigma ** 2
+
+    t0 = time.perf_counter()
+    P = y @ W
+    wn = np.linalg.norm(W, axis=0)
+    score = P / wn
+    if (vals < 0).any():
+        score = np.abs(score)
+    cand = np.argpartition(-score, Hp, axis=1)[:, :Hp]
+    gram = W.T @ W
+    proj = np.take_along_axis(P, cand, axis=1)
+    G = gram[cand[:, :, None], cand[:, None, :]]                # (N,Hp,Hp)
+    lik_multi = (2 * proj @ SM.T
+                 - np.einsum("nab,sa,sb->ns", G, SM, SM)) * inv2s2
+    gd = np.diag(gram)
+    # singletons over all H x K values
+    lik_single = (2 * P[:, :, None] * vals[None, None, :]
+                  - gd[None, :, None] * (vals ** 2)[None, None, :]) * inv2s2
+    logits = np.concatenate(
+        [np.zeros((N, 1)),
+         (lik_single + log_odds[None, None, :]).reshape(N, Hh * K),
+         lik_multi + (NK @ log_odds)[None, :]], axis=1)
+    m = logits.max(1, keepdims=True)
+    q = np.exp(logits - m)
+    q /= q.sum(1, keepdims=True)
+    q_single = q[:, 1:1 + Hh * K].reshape(N, Hh, K)
+    q_multi = q[:, 1 + Hh * K:]
+    s_full = q_single @ vals
+    s_cand = q_multi @ SM
+    np.add.at(s_full, (np.arange(N)[:, None], cand), s_cand)
+    xs = y.T @ s_full
+    ss_cand = np.einsum("ns,sa,sb->nab", q_multi, SM, SM)
+    ss = np.zeros((Hh, Hh))
+    np.add.at(ss, (cand[:, :, None], cand[:, None, :]), ss_cand)
+    ss[np.arange(Hh), np.arange(Hh)] += (q_single @ (vals ** 2)).sum(axis=0)
+    _ = (xs, ss)
+    dt = time.perf_counter() - t0
+    return N / dt
+
+
+def numpy_gsc_baseline_dps(y, W, sigma, pi, mu, psi, Hp, gamma):
+    """Reference-equivalent vectorized NumPy GSC E-step: per-support
+    integrated-slab Gaussian algebra (posterior covariance solve, logdet,
+    quadratic form per enumerated support), batched over (N, S) with
+    supports padded to gamma (SURVEY.md §2 'GSC')."""
+    import itertools
+    N, Dd = y.shape
+    Hh = W.shape[1]
+    supports = [sup for k in range(2, gamma + 1)
+                for sup in itertools.combinations(range(Hp), k)]
+    S = len(supports)
+    inv2s2 = 0.5 / sigma ** 2
+
+    t0 = time.perf_counter()
+    P = y @ W
+    wn = np.linalg.norm(W, axis=0)
+    cand = np.argpartition(-(P / wn), Hp, axis=1)[:, :Hp]
+    gram = W.T @ W
+    G = gram[cand[:, :, None], cand[:, None, :]]                # (N,Hp,Hp)
+    proj = np.take_along_axis(P, cand, axis=1)                  # (N,Hp)
+    lo = np.log(pi) - np.log1p(-pi)
+    logliks = np.empty((N, S))
+    for si, sup in enumerate(supports):                         # vec over N
+        k = len(sup)
+        idx = list(sup)
+        Gs = G[:, idx][:, :, idx]                               # (N,k,k)
+        A = Gs / sigma ** 2 + np.eye(k) / psi                   # precision
+        b = proj[:, idx] / sigma ** 2 + mu / psi                # (N,k)
+        L = np.linalg.cholesky(A)
+        z = np.linalg.solve(L, b[..., None])[..., 0]
+        quad = 0.5 * (z ** 2).sum(axis=1)
+        logdet = np.log(np.diagonal(L, axis1=1, axis2=2)).sum(axis=1)
+        logliks[:, si] = (quad - logdet - 0.5 * k * np.log(psi)
+                          - 0.5 * k * mu * mu / psi + k * lo)
+    y2 = (y * y).sum(axis=1)
+    logits = np.concatenate([np.zeros((N, 1)), logliks], axis=1)
+    m = logits.max(1, keepdims=True)
+    q = np.exp(logits - m)
+    q /= q.sum(1, keepdims=True)
+    _ = (q, y2)
+    dt = time.perf_counter() - t0
+    return N / dt
+
+
+def numpy_max_baseline_dps(y, W, sigma, pi, Hp, gamma, signed=False):
+    """Reference-equivalent vectorized NumPy MCA/MMCA E-step: the winner
+    tile IS the work — ybar[n,s,d] = max over active causes (max-magnitude
+    when signed) with no Gram shortcut (SURVEY.md §2 'MCA-ET')."""
+    N, Dd = y.shape
+    SM, _ = _numpy_multi_states(Hp, gamma, [1.0])
+    S = SM.shape[0]
+    inv2s2 = 0.5 / sigma ** 2
+    lo = np.log(pi) - np.log1p(-pi)
+
+    t0 = time.perf_counter()
+    P = y @ W
+    wn = np.linalg.norm(W, axis=0)
+    score = np.abs(P / wn) if signed else P / wn
+    cand = np.argpartition(-score, Hp, axis=1)[:, :Hp]
+    Wc = W.T[cand]                                              # (N,Hp,D)
+    act = (SM > 0)                                              # (S,Hp)
+    # winner tile (N, S, D): masked max over active causes, built per
+    # state (bounds the temporary at (N, Hp, D))
+    big = -1e30
+    ybar = np.empty((N, S, Dd))
+    for si in range(S):
+        msk = act[si]
+        Wm = np.where(msk[None, :, None], Wc, big)              # (N,Hp,D)
+        if signed:
+            mag = np.where(msk[None, :, None], np.abs(Wc), big)
+            wsel = np.argmax(mag, axis=1)                       # (N,D)
+            ybar[:, si] = np.take_along_axis(
+                Wm, wsel[:, None, :], axis=1)[:, 0]
+        else:
+            ybar[:, si] = Wm.max(axis=1)
+    resid = y[:, None, :] - ybar
+    lik = -(resid ** 2).sum(axis=2) * inv2s2
+    logits = np.concatenate(
+        [-(y ** 2).sum(1, keepdims=True) * inv2s2,
+         lik + (act.sum(1) * lo)[None, :]], axis=1)
+    m = logits.max(1, keepdims=True)
+    q = np.exp(logits - m)
+    q /= q.sum(1, keepdims=True)
+    # responsibility-weighted accumulators (suff-stat stage)
+    qs = q[:, 1:]
+    s_cand = qs @ act.astype(np.float64)                        # (N,Hp)
+    xs_c = np.einsum("ns,nd,nsd->n", qs, y, ybar)               # proxy accum
+    _ = (s_cand, xs_c)
+    dt = time.perf_counter() - t0
+    return N / dt
+
+
+def numpy_mix_baseline_dps(y, K, kind="mog"):
+    """Vectorized NumPy mixture EM step (MoG/MoP): the (N,K) log-likelihood
+    GEMM + responsibility-weighted moment GEMMs."""
+    rng = np.random.default_rng(0)
+    N, Dd = y.shape
+    mu = rng.standard_normal((K, Dd))
+    t0 = time.perf_counter()
+    if kind == "mog":
+        ll = (y @ mu.T - 0.5 * (mu * mu).sum(1)[None, :])
+    else:
+        lam = np.abs(mu) + 0.5
+        ll = y @ np.log(lam).T - lam.sum(1)[None, :]
+    m = ll.max(1, keepdims=True)
+    r = np.exp(ll - m)
+    r /= r.sum(1, keepdims=True)
+    nk = r.sum(0)
+    mu_new = (r.T @ y) / np.maximum(nk, 1e-9)[:, None]
+    _ = mu_new
+    dt = time.perf_counter() - t0
+    return N / dt
+
+
 def linear_flops_per_dp(Dd, Hh, Hhp, S, K=1):
     """(raw, useful) FLOPs/datapoint of the fused linear-family E-step.
 
@@ -285,6 +471,23 @@ def main():
                       file=sys.stderr)
                 families["bsc"]["backends_match"] = False
 
+    # per-family measured CPU baselines (round 5, VERDICT r4 #7): every
+    # family's vs_baseline is ITS OWN reference-equivalent NumPy E-step
+    # measurement, not an extrapolation from the BSC number
+    def attach_baseline(name, fn):
+        if name not in families:
+            return
+        try:
+            cpu = fn()
+            families[name]["baseline"] = {"numpy_cpu_dps": round(cpu, 1)}
+            families[name]["vs_baseline"] = round(
+                families[name]["dps"] / cpu, 1)
+        except Exception as e:                      # noqa: BLE001
+            print(f"[bench] baseline/{name} failed: {e!r}", file=sys.stderr)
+
+    def _cpu_y(n, d, seed=11):
+        return np.random.default_rng(seed).standard_normal((n, d))
+
     # ---- family matrix (BASELINE.md row configs) ----------------------------
     def run_family(name, factory, N, iters=5, flops=None, backend_note=None):
         if not want(name):
@@ -306,11 +509,17 @@ def main():
         "tsc", lambda: TSC(D, H, 6, 3, chunk=CHUNK, backend="pallas"),
         N_TPU, flops=lambda m: linear_flops_per_dp(
             D, H, 6, m.sa.states.shape[0], K=2), backend_note="pallas")
+    attach_baseline("tsc", lambda: numpy_linear_baseline_dps(
+        _cpu_y(N_CPU, D), W0.astype(np.float64), sigma0,
+        [pi0 / 2, pi0 / 2], [-1.0, 1.0], 6, 3))
     run_family(
         "dsc", lambda: DSC(D, H, 5, 3, phi=(-1.0, 1.0, 2.0), chunk=CHUNK,
                            backend="pallas"),
         N_TPU, flops=lambda m: linear_flops_per_dp(
             D, H, 5, m.sa.states.shape[0], K=3), backend_note="pallas")
+    attach_baseline("dsc", lambda: numpy_linear_baseline_dps(
+        _cpu_y(N_CPU, D), W0.astype(np.float64), sigma0,
+        [pi0 / 3] * 3, [-1.0, 1.0, 2.0], 5, 3))
     # big-S on-chip path (SURVEY §5.7 motivation: S explodes combinatorially;
     # single-chip here, state-sharded on a mesh).  s_block = the online-
     # logsumexp state-tiled path — the (chunk, S) logits never reach HBM;
@@ -339,6 +548,10 @@ def main():
             families["tsc_bigs"] = _family_entry(max(bks.values()))
             families["tsc_bigs"]["backends"] = {k: round(v, 1)
                                                 for k, v in bks.items()}
+        attach_baseline("tsc_bigs", lambda: numpy_linear_baseline_dps(
+            _cpu_y(256, 64),
+            np.random.default_rng(2).standard_normal((64, 32)), sigma0,
+            [0.05, 0.05], [-1.0, 1.0], 10, 5))
     # batch sizes amortise the relay/dispatch fixed cost (~3 ms/call —
     # measured: MCA "2.4M" at N=16k vs 6.2M at N=262k, same program).
     # Round 4 (VERDICT r3 #4): GSC runs the PATCHES-SCALE config like the
@@ -347,9 +560,16 @@ def main():
     run_family("gsc", lambda: GSC(D, H, 6, 3, chunk=CHUNK), N_TPU,
                iters=ITERS, flops=lambda m: gsc_flops_per_dp(
                    D, H, 6, m.sa.states.shape[0]))
+    attach_baseline("gsc", lambda: numpy_gsc_baseline_dps(
+        _cpu_y(N_CPU, D), W0.astype(np.float64), sigma0, pi0,
+        mu=1.0, psi=0.25, Hp=6, gamma=3))
     run_family("gsc_small", lambda: GSC(64, 100, 6, 3, chunk=8192), 262144,
                iters=ITERS, flops=lambda m: gsc_flops_per_dp(
                    64, 100, 6, m.sa.states.shape[0]))
+    attach_baseline("gsc_small", lambda: numpy_gsc_baseline_dps(
+        _cpu_y(N_CPU, 64),
+        np.random.default_rng(2).standard_normal((64, 100)), sigma0, pi0,
+        mu=1.0, psi=0.25, Hp=6, gamma=3))
     # max family at the same patches-scale config (round 4): fused VMEM
     # winner-lattice kernel (ops/max_pallas.py) vs the XLA tile path
     for name, cls in (("mca", MCA), ("mmca", MMCA)):
@@ -374,6 +594,9 @@ def main():
                 max_flops_per_dp(D, H, 6, model.sa.states.shape[0]))
             families[name]["backends"] = {k: round(v, 1)
                                           for k, v in bks.items()}
+        attach_baseline(name, lambda name=name: numpy_max_baseline_dps(
+            _cpu_y(1024, D), W0.astype(np.float64), sigma0, pi0, 6, 3,
+            signed=(name == "mmca")))
     # old D=64 H=100 max-family config (cross-round continuity; the fused
     # winner-lattice kernel fits VMEM here — at the patches config the
     # (S, D)-per-lane lattice exceeds it and the XLA path serves)
@@ -385,6 +608,10 @@ def main():
             flops=lambda m: max_flops_per_dp(64, 100, 6,
                                              m.sa.states.shape[0]),
             backend_note="pallas")
+        attach_baseline(name, lambda name=name: numpy_max_baseline_dps(
+            _cpu_y(1024, 64),
+            np.random.default_rng(2).standard_normal((64, 100)), sigma0,
+            pi0, 6, 3, signed=name.startswith("mmca")))
 
     # mixtures at clustering scale matching the patches dims (round 4:
     # D=256, K=300 — same data dim / component count as the ET matrix)
@@ -405,13 +632,17 @@ def main():
             families[mix_name] = _family_entry(
                 _measure_step(model, params, 524288, ITERS, groups=2,
                               data_tf=tf), mix_flops_per_dp(D, H))
+            attach_baseline(mix_name, lambda: numpy_mix_baseline_dps(
+                _cpu_y(16384, D), H, kind=mix_name))
         except Exception as e:                      # noqa: BLE001
             print(f"[bench] {mix_name} failed: {e!r}", file=sys.stderr)
 
     # ---- serving decode (model.inference, device-resident input) ------------
+    # round 5 (VERDICT r4 #3): measured per backend — 'pallas' runs the
+    # fused q-stage decode kernel (ops/linear_pallas.py::_decode_kernel),
+    # 'xla' the chunked formulation (the round-3/4 production path)
     if want("decode"):
         try:
-            model = BSC(D, H, Hp, GAMMA, chunk=CHUNK)
             params = {"W": jnp.asarray(W0), "pi": jnp.float32(pi0),
                       "sigma": jnp.float32(sigma0)}
             y_dev = jnp.asarray(np.random.default_rng(3).standard_normal(
@@ -421,19 +652,33 @@ def main():
             # ~20 ms on a lone call) amortises as it does in real serving
             reps = 5
             for label, dense in (("decode", True), ("decode_compact", False)):
-                out = model.inference(params, {"y": y_dev}, top_L=10,
-                                      dense_states=dense)
-                float(np.asarray(out["F"][0]))
-                best = 0.0
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    for _ in range(reps):
-                        out = model.inference(params, {"y": y_dev}, top_L=10,
-                                              dense_states=dense)
-                    float(np.asarray(out["F"][0]))
-                    best = max(best,
-                               reps * N_TPU / (time.perf_counter() - t0))
-                families[label] = {"dps": round(best, 1), "top_L": 10}
+                bks = {}
+                for backend in ("pallas", "xla"):
+                    try:
+                        model = BSC(D, H, Hp, GAMMA, chunk=CHUNK,
+                                    backend=backend)
+                        out = model.inference(params, {"y": y_dev},
+                                              top_L=10, dense_states=dense)
+                        float(np.asarray(out["F"][0]))
+                        best = 0.0
+                        for _ in range(3):
+                            t0 = time.perf_counter()
+                            for _ in range(reps):
+                                out = model.inference(
+                                    params, {"y": y_dev}, top_L=10,
+                                    dense_states=dense)
+                            float(np.asarray(out["F"][0]))
+                            best = max(best, reps * N_TPU
+                                       / (time.perf_counter() - t0))
+                        bks[backend] = best
+                    except Exception as e:          # noqa: BLE001
+                        print(f"[bench] {label}/{backend} failed: {e!r}",
+                              file=sys.stderr)
+                if bks:
+                    families[label] = {"dps": round(max(bks.values()), 1),
+                                       "top_L": 10,
+                                       "backends": {k: round(v, 1)
+                                                    for k, v in bks.items()}}
         except Exception as e:                      # noqa: BLE001
             print(f"[bench] decode failed: {e!r}", file=sys.stderr)
 
@@ -444,6 +689,10 @@ def main():
             (N_CPU, D)).astype(np.float64)
         cpu_dps = numpy_baseline_dps(y_cpu, W0.astype(np.float64),
                                      sigma0, pi0)
+        if "bsc" in families:
+            families["bsc"]["baseline"] = {"numpy_cpu_dps": round(cpu_dps, 1)}
+            families["bsc"]["vs_baseline"] = round(
+                max(results.values()) / cpu_dps, 1)
         tpu_dps = max(results.values())
         raw, useful = linear_flops_per_dp(D, H, Hp, S_bsc)
         out = {

@@ -809,6 +809,70 @@ def densify_top_states(out: Dict[str, jnp.ndarray], H: int) -> jnp.ndarray:
     return single_vec + multi_vec
 
 
+def top_states_from_topk(top_q: jnp.ndarray, top_u: jnp.ndarray,
+                         H: int, K: int, values: jnp.ndarray,
+                         multi_states: jnp.ndarray, cand: jnp.ndarray,
+                         dense: bool) -> Dict[str, jnp.ndarray]:
+    """Decode the canonical top-L (prob, index) pairs into the inference
+    output fields — the post-processing stage of the fused decode kernel
+    (`ops/linear_pallas.py::linear_et_decode_pallas` emits top_q/top_u with
+    exactly `top_states_outputs`' union layout and tie-break).  Outputs are
+    datapoint-first (no ``_T`` convention: the kernel writes full per-tile
+    blocks, so there is no chunk-loop buffer to layout-protect)."""
+    f32 = jnp.float32
+    N, L = top_q.shape
+    S, Hp = multi_states.shape
+    u = top_u - 1                                         # -1 -> zero state
+    is_single = (u >= 0) & (u < H * K)
+    sh = jnp.where(is_single, u // K, 0)
+    sv = jnp.where(is_single, values[jnp.clip(u % K, 0, K - 1)], 0.0)
+    s_idx = jnp.clip(u - H * K, 0, S - 1)
+    is_multi = u >= H * K
+    su = jax.nn.one_hot(s_idx, S, dtype=f32) * is_multi[..., None]
+    mcv = jnp.dot(su.reshape(N * L, S), multi_states,
+                  preferred_element_type=f32).reshape(N, L, Hp)
+    if dense:
+        single_vec = jax.nn.one_hot(sh, H, dtype=f32) * sv[..., None]
+        out = single_vec
+        for a in range(Hp):
+            hot = jax.nn.one_hot(cand[:, a], H, dtype=f32)    # (N, H)
+            out = out + mcv[:, :, a][:, :, None] * hot[:, None, :]
+        return {"top_probs": top_q, "top_states": out}
+    return {"top_probs": top_q,
+            "top_single_unit":
+                jnp.where(is_single, sh, -1).astype(jnp.int32),
+            "top_single_value": sv,
+            "top_cand_states": mcv}
+
+
+def linear_et_posterior_pallas(y: jnp.ndarray, W: jnp.ndarray, sigma2,
+                               log_odds: jnp.ndarray, sa: LinearStateArrays,
+                               Hp: int, signed_select: bool, top_L: int = 10,
+                               beta=1.0, prior_beta=1.0,
+                               dense_states: bool = True,
+                               interpret: bool = False
+                               ) -> Dict[str, jnp.ndarray]:
+    """Fused-kernel posterior decode (round 5, VERDICT r4 #3): the q stage
+    runs in VMEM (`ops/linear_pallas.py::linear_et_decode_pallas`) and only
+    (N, L)/(N, H)-sized outputs reach HBM; the recon GEMM and the top-state
+    decode are cheap XLA post-processing.  Output contract identical to
+    `linear_et_posterior`."""
+    f32 = jnp.float32
+    from prosper_tpu.ops.linear_pallas import linear_et_decode_pallas
+    F, s_mean, top_q, top_u, cand = linear_et_decode_pallas(
+        y, W, sigma2, log_odds, sa, Hp, signed_select, top_L,
+        beta, prior_beta, interpret=interpret)
+    out = top_states_from_topk(top_q, top_u, W.shape[1],
+                               sa.values.shape[0], jnp.asarray(sa.values),
+                               jnp.asarray(sa.states), cand, dense_states)
+    if not dense_states:
+        out["cand"] = cand
+    out.update({"s_mean": s_mean,
+                "recon": jnp.dot(s_mean, W.T, preferred_element_type=f32),
+                "F": F})
+    return out
+
+
 def linear_et_posterior(y: jnp.ndarray, W: jnp.ndarray, sigma2,
                         log_odds: jnp.ndarray, sa: LinearStateArrays,
                         Hp: int, signed_select: bool, top_L: int = 10,

@@ -240,7 +240,8 @@ class LinearETModel(ETModel):
         None (default, round 4 / VERDICT r3 #8) auto-selects: dense for
         small batches, compact once the dense tensor would exceed
         ``DENSE_STATES_AUTO_BYTES``."""
-        from prosper_tpu.core.etstep import linear_et_posterior
+        from prosper_tpu.core.etstep import (linear_et_posterior,
+                                             linear_et_posterior_pallas)
         from prosper_tpu.models.base import sched_from_anneal
         sched = sched_from_anneal(anneal) if anneal is not None else None
         beta = sched["beta"] if sched else jnp.float32(1.0)
@@ -248,6 +249,23 @@ class LinearETModel(ETModel):
         y = jnp.asarray(data["y"], jnp.float32)
         dense_states = self.resolve_dense_states(y.shape[0], top_L,
                                                  dense_states)
+        # round 5 (VERDICT r4 #3): with backend='pallas' the decode's q
+        # stage runs in the fused VMEM kernel (the round-3 trace pinned
+        # 10.4 of 12.1 ms/131k on the XLA q stage re-materialising the
+        # union posterior in HBM); same production gates as the train
+        # kernel (tiny toy dims fail Mosaic layout -> XLA fallback)
+        use_pallas = (self.backend == "pallas" and not self.learn_phi
+                      and self.s_block == 0 and self.H >= 64
+                      and self.D >= 64)
+        if use_pallas:
+            return self._cached_infer(
+                ("linear-pl", top_L, dense_states),
+                lambda y_, p, b, pb: linear_et_posterior_pallas(
+                    y_, p["W"], p["sigma"] ** 2, self.log_odds(p),
+                    self._sa_for(p), self.Hprime, self.signed_select,
+                    top_L, b, pb, dense_states=dense_states,
+                    interpret=self._pallas_interpret),
+                y, params, beta, prior_beta, runtime=runtime)
         return self._cached_infer(
             ("linear", top_L, self.chunk, dense_states),
             lambda y_, p, b, pb: linear_et_posterior(

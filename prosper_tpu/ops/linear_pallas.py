@@ -324,3 +324,181 @@ def linear_et_estep_pallas(
                 vc=misc[:K], abs=misc[K], y2=misc[K + 1], n=misc[K + 2],
                 F=misc[K + 3], F_true=misc[K + 4])
     return F[:N, 0], sums
+
+
+# ---------------------------------------------------------------------------
+# Fused posterior-decode kernel (serving path)
+# ---------------------------------------------------------------------------
+
+def _decode_kernel(scal_ref, y_ref, W_ref, gram_ref, gdiag_ref,
+                   states_ref, outer_ref, vcounts_ref, values_ref,
+                   log_odds_ref,
+                   F_ref, smean_ref, topq_ref, topu_ref, cand_ref,
+                   *, Ct: int, D: int, H: int, Hp: int, S: int, K: int,
+                   L: int, signed_select: bool):
+    """Decode variant of the fused E-step (round 5, VERDICT r4 #3).
+
+    The round-3/4 decode traces pinned the compact decode's device floor on
+    its q stage re-running the XLA formulation (10.4 of 12.1 ms/131k) while
+    the train kernel — which computes the same union softmax in VMEM —
+    only accumulates sufficient statistics.  This kernel shares the train
+    kernel's front end (`_frontend`) and emits the PER-DATAPOINT serving
+    outputs instead:
+
+      F      (Ct, 1)   truncated log-pseudo-likelihood
+      s_mean (Ct, H)   posterior mean (full-H scatter of the moments)
+      top_q  (Ct, L)   top-L posterior probabilities
+      top_u  (Ct, L)   canonical union indices (0 = zero state,
+                       1 + h*K + k = singleton, 1 + H*K + s = multi state)
+                       — the exact layout/tie-break of the XLA path
+                       (core/select.py::top_l_argmax: descending value,
+                       lowest index first)
+      cand   (Ct, Hp)  selected candidate units
+
+    The (Ct, 1 + H*K + S) posterior never reaches HBM; the top-L search
+    runs in VMEM as L masked max/min reductions over the three softmax
+    parts (zero / K singleton blocks / multi), using the canonical index
+    lattice for the tie-break.  Everything downstream (recon GEMM, compact
+    state gather, densify) is cheap XLA on (N, L)-sized arrays.
+    """
+    f32 = jnp.float32
+    sigma2 = scal_ref[0, 0]
+    beta = scal_ref[0, 1]
+    prior_beta = scal_ref[0, 2]
+    inv2s2 = 0.5 / sigma2
+
+    y = y_ref[:]
+    W = W_ref[:]
+    gram = gram_ref[:]
+    gdiag = gdiag_ref[:]
+    states = states_ref[:]
+    outer = outer_ref[:]
+    vcounts = vcounts_ref[:]
+    values = values_ref[:]
+    log_odds = log_odds_ref[:]
+
+    (P, hots, cand_cols, proj, Gf, _lsk, _lm, _pm,
+     qz, qs_k, qm, logZ) = _frontend(
+        y, W, gram, gdiag, states, outer, vcounts, values, log_odds,
+        sigma2, beta, prior_beta, Ct=Ct, H=H, Hp=Hp, K=K,
+        signed_select=signed_select)
+
+    y2 = jnp.sum(y * y, axis=1, keepdims=True)
+    log_p0 = -jnp.log1p(jnp.sum(jnp.exp(log_odds[0])))
+    log_norm = 0.5 * D * jnp.log(2.0 * jnp.pi * sigma2)
+    F_ref[:] = logZ - beta * (y2 * inv2s2) - beta * log_norm \
+        + prior_beta * H * log_p0
+
+    # ---- posterior mean (same moments algebra as the train kernel) --------
+    s_single = sum(qs_k[k] * values[0, k] for k in range(K))
+    s_cand = jnp.dot(qm, states, preferred_element_type=f32)     # (Ct, Hp)
+    s_full = s_single
+    for a in range(Hp):
+        s_full = s_full + hots[a] * s_cand[:, a][:, None]
+    smean_ref[:] = s_full
+    cand_ref[:] = jnp.concatenate(cand_cols, axis=1)             # (Ct, Hp)
+
+    # ---- top-L over the union: L masked argmax rounds ---------------------
+    colH = jax.lax.broadcasted_iota(jnp.int32, (Ct, H), 1)
+    colS = jax.lax.broadcasted_iota(jnp.int32, (Ct, S), 1)
+    idx_sing = [1 + colH * K + k for k in range(K)]              # canonical
+    idx_mult = 1 + H * K + colS
+    BIGI = jnp.int32(1 << 30)
+    qz_w, qs_w, qm_w = qz, list(qs_k), qm
+    top_qs, top_us = [], []
+    for _ in range(L):
+        mx = qz_w
+        for q in qs_w:
+            mx = jnp.maximum(mx, jnp.max(q, axis=1, keepdims=True))
+        mx = jnp.maximum(mx, jnp.max(qm_w, axis=1, keepdims=True))
+        win = jnp.where(qz_w == mx, jnp.int32(0), BIGI)          # (Ct, 1)
+        for k in range(K):
+            win = jnp.minimum(win, jnp.min(
+                jnp.where(qs_w[k] == mx, idx_sing[k], BIGI),
+                axis=1, keepdims=True))
+        win = jnp.minimum(win, jnp.min(
+            jnp.where(qm_w == mx, idx_mult, BIGI), axis=1, keepdims=True))
+        top_qs.append(mx)
+        top_us.append(win)
+        # knock the taken entry out (match top_l_argmax's -1 sentinel)
+        qz_w = jnp.where(win == 0, -1.0, qz_w)
+        for k in range(K):
+            qs_w[k] = jnp.where(idx_sing[k] == win, -1.0, qs_w[k])
+        qm_w = jnp.where(idx_mult == win, -1.0, qm_w)
+    topq_ref[:] = jnp.concatenate(top_qs, axis=1)                # (Ct, L)
+    topu_ref[:] = jnp.concatenate(top_us, axis=1)                # (Ct, L)
+
+
+def linear_et_decode_pallas(
+        y: jnp.ndarray, W: jnp.ndarray, sigma2, log_odds: jnp.ndarray,
+        sa: LinearStateArrays, Hp: int, signed_select: bool, top_L: int,
+        beta, prior_beta, tile: int = 0, interpret: bool = False):
+    """Fused posterior decode: one pallas_call over all N (no chunk loop —
+    per-tile outputs are full-block writes, so the round-3 loop-buffer RMW
+    pathology cannot occur).  Returns (F (N,), s_mean (N,H), top_q (N,L),
+    top_u (N,L) int32, cand (N,Hp) int32); see `_decode_kernel` for the
+    canonical top_u layout."""
+    N, D = y.shape
+    H = W.shape[1]
+    S, K = sa.value_counts.shape
+    if top_L > 1 + H * K + S:
+        raise ValueError(f"top_L={top_L} exceeds the {1 + H * K + S} "
+                         "posterior columns")
+    if tile <= 0:
+        tile = auto_tile(N, D, H, Hp, S, K)
+    pad = (-N) % tile
+    if pad:
+        y = jnp.concatenate([y, jnp.zeros((pad, D), y.dtype)], axis=0)
+    n_tiles = (N + pad) // tile
+
+    gram = jnp.dot(W.T, W, preferred_element_type=jnp.float32)
+    gdiag = jnp.diagonal(gram)[None, :]
+    scal = jnp.stack([jnp.asarray(sigma2, jnp.float32),
+                      jnp.asarray(beta, jnp.float32),
+                      jnp.asarray(prior_beta, jnp.float32)])[None, :]
+
+    from functools import partial
+    kernel = partial(_decode_kernel, Ct=tile, D=D, H=H, Hp=Hp, S=S, K=K,
+                     L=top_L, signed_select=signed_select)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((N + pad, 1), jnp.float32),        # F
+        jax.ShapeDtypeStruct((N + pad, H), jnp.float32),        # s_mean
+        jax.ShapeDtypeStruct((N + pad, top_L), jnp.float32),    # top_q
+        jax.ShapeDtypeStruct((N + pad, top_L), jnp.int32),      # top_u
+        jax.ShapeDtypeStruct((N + pad, Hp), jnp.int32),         # cand
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, D), lambda i: (i, 0)),
+            pl.BlockSpec((D, H), lambda i: (0, 0)),
+            pl.BlockSpec((H, H), lambda i: (0, 0)),
+            pl.BlockSpec((1, H), lambda i: (0, 0)),
+            pl.BlockSpec((S, Hp), lambda i: (0, 0)),
+            pl.BlockSpec((S, Hp * Hp), lambda i: (0, 0)),
+            pl.BlockSpec((S, K), lambda i: (0, 0)),
+            pl.BlockSpec((1, K), lambda i: (0, 0)),
+            pl.BlockSpec((1, K), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((tile, H), lambda i: (i, 0)),
+            pl.BlockSpec((tile, top_L), lambda i: (i, 0)),
+            pl.BlockSpec((tile, top_L), lambda i: (i, 0)),
+            pl.BlockSpec((tile, Hp), lambda i: (i, 0)),
+        ],
+    )
+
+    F, s_mean, top_q, top_u, cand = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(scal, y, W, gram, gdiag,
+      jnp.asarray(sa.states), jnp.asarray(sa.outer),
+      jnp.asarray(sa.value_counts),
+      jnp.asarray(sa.values)[None, :], jnp.asarray(log_odds)[None, :])
+    return (F[:N, 0], s_mean[:N], top_q[:N], top_u[:N], cand[:N])
