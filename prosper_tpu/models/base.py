@@ -192,12 +192,21 @@ class ETModel:
             lambda: exact_count_mask(rng_partial, N, sched["partial"],
                                      valid=valid))
 
-    def ncut_weight(self, pmask, F_rank, sched, logA, N_total, axis_name):
+    def ncut_weight(self, pmask, F_rank, sched, logA, axis_name):
         """Apply the ET data cut on top of ``pmask``, ranking datapoints by
-        ``F_rank`` (psum'd histogram-quantile threshold)."""
+        ``F_rank`` (psum'd histogram-quantile threshold).
+
+        The keep count applies the ET fraction to the rows actually under
+        consideration (sum of ``pmask``), NOT to all valid rows — with the
+        ``partial`` channel active the two differ, and a keep count larger
+        than the subset degenerates the cut to a no-op: badly-explained
+        rows stay in and sigma converges ~2x too high (round-5 find, via
+        the streamed-vs-in-memory deviation test)."""
         from prosper_tpu.core.select import (global_quantile_threshold,
                                              ncut_keep_count)
-        keep = ncut_keep_count(N_total, sched["Ncut_factor"], logA)
+        from prosper_tpu.parallel.mesh import maybe_psum
+        n_sel = maybe_psum(jnp.sum(pmask), axis_name)
+        keep = ncut_keep_count(n_sel, sched["Ncut_factor"], logA)
         thresh = global_quantile_threshold(F_rank, pmask, keep, axis_name)
         return pmask * (F_rank >= thresh).astype(jnp.float32)
 
@@ -228,7 +237,7 @@ class ETModel:
         F, sums = estep(pmask)
 
         def recut(_):
-            w = self.ncut_weight(pmask, F, sched, logA, N_total, axis_name)
+            w = self.ncut_weight(pmask, F, sched, logA, axis_name)
             return estep(w)[1]
 
         sums = jax.lax.cond(sched["Ncut_factor"] > 0, recut,
@@ -257,7 +266,7 @@ class ETModel:
         weight = jax.lax.cond(
             sched["Ncut_factor"] > 0,
             lambda: self.ncut_weight(pmask, data["F_prev"], sched, logA,
-                                     N_total, axis_name),
+                                     axis_name),
             lambda: pmask)
         return weight, logA, logB, N_total
 
