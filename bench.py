@@ -534,7 +534,11 @@ def main():
         bks = {}
         for backend in ("pallas", "xla"):
             try:
-                model = TSC(64, 32, 10, 5, chunk=8192, s_block=512,
+                # round 5: the merged-GEMM scan shifted the XLA optimum to
+                # s_block=1024 (swept on chip: 512 -> 12.7 M, 1024 -> 13.4,
+                # 2048 -> 13.1); the fused kernel keeps its tuned 512 tile
+                model = TSC(64, 32, 10, 5, chunk=8192,
+                            s_block=1024 if backend == "xla" else 512,
                             backend=backend)
                 params = model.standard_init(
                     {"y": np.random.default_rng(2).standard_normal(

@@ -492,49 +492,65 @@ def _chunk_estats_bigs(y, w, W, gram, gram_diag, sigma2, log_odds,
             inv2s2, beta, prior_beta, s_block, interpret=pallas_interpret,
             collect_true=collect_true, precise=pallas_precise)
     else:
-        xs = (states_p.reshape(nblocks, s_block, Hp),
-              outer_p.reshape(nblocks, s_block, Hp * Hp),
-              vcounts_p.reshape(nblocks, s_block, K),
-              absst_p.reshape(nblocks, s_block),
-              prior.reshape(nblocks, s_block),
-              valid.reshape(nblocks, s_block))
+        # Merged-GEMM scan body (round 5, VERDICT r4 #4 — the measured
+        # 0.73 -> 0.47 ms/chunk overlap gap).  Each block is now exactly
+        # TWO MXU GEMMs:
+        #   * logits = Xa @ A_b.T — the prior and the padding mask ride
+        #     along as two extra CONTRACTION columns (A = [st|ot|pr|mask],
+        #     Xa = [2*beta*inv2s2*proj | -beta*inv2s2*Gf | prior_beta | 1]),
+        #     eliminating the per-block prior-FMA and mask-where passes;
+        #   * acc += p @ B_b — ONE (C,s_block)x(s_block, Hp+Hp^2+K+2) GEMM
+        #     produces every accumulator moment (s | ss | vc | abs | mass)
+        #     where the old body paid FOUR separate GEMMs whose M <= 100
+        #     outputs each cost a full 128-lane MXU pass (~4x the effective
+        #     MXU work of the merged form).
+        # The running accumulator is ONE (C, nB) tensor rescaled by r once.
+        maskcol = jnp.where(valid > 0, 0.0, neg)[:, None]
+        Acols = jnp.concatenate([states_p, outer_p, prior[:, None],
+                                 maskcol], axis=1)       # (S_loc, nA)
+        Bcols = jnp.concatenate([states_p, outer_p, vcounts_p,
+                                 absst_p[:, None],
+                                 jnp.ones((S_loc, 1), f32)],
+                                axis=1)                  # (S_loc, nB)
+        nA = Hp + Hp * Hp + 2
+        nB = Hp + Hp * Hp + K + 2
+        X = jnp.concatenate([(2.0 * inv2s2) * proj, (-inv2s2) * Gf],
+                            axis=1)                      # (C, Hp+Hp^2)
+        Xa = jnp.concatenate([beta * X,
+                              jnp.full((C, 1), prior_beta, f32),
+                              jnp.ones((C, 1), f32)], axis=1)
+        if collect_true:
+            # un-annealed channel shares A_b: Xt = [X | 1 | 1]
+            Xt = jnp.concatenate([X, jnp.ones((C, 2), f32)], axis=1)
+        xs = (Acols.reshape(nblocks, s_block, nA),
+              Bcols.reshape(nblocks, s_block, nB))
 
         def body(carry, xb):
-            m, l, m_t, l_t, a_s, a_ss, a_vc, a_abs = carry
-            st_b, ot_b, vc_b, ab_b, pr_b, va_b = xb
-            lik = (2.0 * jnp.dot(proj, st_b.T, preferred_element_type=f32)
-                   - jnp.dot(Gf, ot_b.T, preferred_element_type=f32)) * inv2s2
-            logits = beta * lik + prior_beta * pr_b[None, :]
-            logits = jnp.where(va_b[None, :] > 0, logits, neg)
+            m, m_t, l_t, acc = carry
+            A_b, B_b = xb
+            logits = jnp.dot(Xa, A_b.T, preferred_element_type=f32)
             m_new = jnp.maximum(m, jnp.max(logits, axis=1))
             r = jnp.exp(m - m_new)
             p = jnp.exp(logits - m_new[:, None])
-            l = l * r + jnp.sum(p, axis=1)
-            a_s = (a_s * r[:, None]
-                   + jnp.dot(p, st_b, preferred_element_type=f32))
-            a_ss = (a_ss * r[:, None]
-                    + jnp.dot(p, ot_b, preferred_element_type=f32))
-            a_vc = (a_vc * r[:, None]
-                    + jnp.dot(p, vc_b, preferred_element_type=f32))
-            a_abs = a_abs * r + jnp.dot(p, ab_b, preferred_element_type=f32)
-            # un-annealed (true) logsumexp for the Q channel — max/mass
-            # only; statically dropped in the saturated steady state
+            acc = acc * r[:, None] + jnp.dot(p, B_b,
+                                             preferred_element_type=f32)
             if collect_true:
-                logits_t = jnp.where(va_b[None, :] > 0,
-                                     lik + pr_b[None, :], neg)
+                logits_t = jnp.dot(Xt, A_b.T, preferred_element_type=f32)
                 m_tn = jnp.maximum(m_t, jnp.max(logits_t, axis=1))
                 l_t = (l_t * jnp.exp(m_t - m_tn)
                        + jnp.sum(jnp.exp(logits_t - m_tn[:, None]), axis=1))
             else:
                 m_tn = m_t
-            return (m_new, l, m_tn, l_t, a_s, a_ss, a_vc, a_abs), None
+            return (m_new, m_tn, l_t, acc), None
 
-        init = (jnp.full((C,), neg), jnp.zeros((C,), f32),
-                jnp.full((C,), neg), jnp.zeros((C,), f32),
-                jnp.zeros((C, Hp), f32), jnp.zeros((C, Hp * Hp), f32),
-                jnp.zeros((C, K), f32), jnp.zeros((C,), f32))
-        (m_b, l_b, m_bt, l_bt, a_s, a_ss, a_vc, a_abs), _ = jax.lax.scan(
-            body, init, xs)
+        init = (jnp.full((C,), neg), jnp.full((C,), neg),
+                jnp.zeros((C,), f32), jnp.zeros((C, nB), f32))
+        (m_b, m_bt, l_bt, acc), _ = jax.lax.scan(body, init, xs)
+        a_s = acc[:, :Hp]
+        a_ss = acc[:, Hp:Hp + Hp * Hp]
+        a_vc = acc[:, Hp + Hp * Hp:Hp + Hp * Hp + K]
+        a_abs = acc[:, nB - 2]
+        l_b = acc[:, nB - 1]
 
     # ---- combine the two partial softmaxes (and, sharded, across devices) ---
     M = jnp.maximum(m_a, m_b)

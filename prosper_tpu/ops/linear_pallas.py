@@ -399,11 +399,14 @@ def _decode_kernel(scal_ref, y_ref, W_ref, gram_ref, gdiag_ref,
     cand_ref[:] = jnp.concatenate(cand_cols, axis=1)             # (Ct, Hp)
 
     # ---- top-L over the union: L masked argmax rounds ---------------------
-    colH = jax.lax.broadcasted_iota(jnp.int32, (Ct, H), 1)
-    colS = jax.lax.broadcasted_iota(jnp.int32, (Ct, S), 1)
-    idx_sing = [1 + colH * K + k for k in range(K)]              # canonical
-    idx_mult = 1 + H * K + colS
-    BIGI = jnp.int32(1 << 30)
+    # index lattices kept in f32 (exact below 2^24; the union width
+    # 1 + H*K + S is far smaller) — int32 min/where lattices lowered
+    # poorly in Mosaic
+    colH = jax.lax.broadcasted_iota(jnp.int32, (Ct, H), 1).astype(f32)
+    colS = jax.lax.broadcasted_iota(jnp.int32, (Ct, S), 1).astype(f32)
+    idx_sing = [1.0 + colH * K + k for k in range(K)]            # canonical
+    idx_mult = 1.0 + H * K + colS
+    BIGI = jnp.float32(1e9)
     qz_w, qs_w, qm_w = qz, list(qs_k), qm
     top_qs, top_us = [], []
     for _ in range(L):
@@ -411,7 +414,7 @@ def _decode_kernel(scal_ref, y_ref, W_ref, gram_ref, gdiag_ref,
         for q in qs_w:
             mx = jnp.maximum(mx, jnp.max(q, axis=1, keepdims=True))
         mx = jnp.maximum(mx, jnp.max(qm_w, axis=1, keepdims=True))
-        win = jnp.where(qz_w == mx, jnp.int32(0), BIGI)          # (Ct, 1)
+        win = jnp.where(qz_w == mx, jnp.float32(0.0), BIGI)      # (Ct, 1)
         for k in range(K):
             win = jnp.minimum(win, jnp.min(
                 jnp.where(qs_w[k] == mx, idx_sing[k], BIGI),
@@ -421,12 +424,12 @@ def _decode_kernel(scal_ref, y_ref, W_ref, gram_ref, gdiag_ref,
         top_qs.append(mx)
         top_us.append(win)
         # knock the taken entry out (match top_l_argmax's -1 sentinel)
-        qz_w = jnp.where(win == 0, -1.0, qz_w)
+        qz_w = jnp.where(win == 0.0, -1.0, qz_w)
         for k in range(K):
             qs_w[k] = jnp.where(idx_sing[k] == win, -1.0, qs_w[k])
         qm_w = jnp.where(idx_mult == win, -1.0, qm_w)
     topq_ref[:] = jnp.concatenate(top_qs, axis=1)                # (Ct, L)
-    topu_ref[:] = jnp.concatenate(top_us, axis=1)                # (Ct, L)
+    topu_ref[:] = jnp.concatenate(top_us, axis=1).astype(jnp.int32)
 
 
 def linear_et_decode_pallas(

@@ -132,6 +132,43 @@ def test_split_blend_sweep_synthetic():
             np.testing.assert_array_equal(W2[:, c], Wl[:, c])
 
 
+def test_split_blend_sweep_relaxed_donor():
+    """Round 5 (taxonomy classes "missing-no-donor"/"blend-no-donor"):
+    with the primary donor pool empty, the weaker member of a RELAXED
+    duplicate pair (coherence 0.65-0.85, chosen by wider support — the
+    blend-like member) is donated instead of split, and a genuine blend
+    with no other donor gets served."""
+    from prosper_tpu.data.diagnosis import split_blend_sweep
+
+    rng = np.random.default_rng(7)
+    D, H = 144, 16
+    gt = _planted(D=D, H=H, seed=4)
+    Wl = gt.copy()
+    Wl[:, 5] = gt[:, 5] + gt[:, 6]               # blend of atoms 5+6
+    # col 6: redundant near-duplicate of col 7's atom (cos ~0.78 — below
+    # the 0.85 primary gate, above the 0.65 relaxed gate), wider support
+    Wl[:, 6] = gt[:, 7] + 0.8 * gt[:, 8]
+    N = 20000
+    s = (rng.random((N, H)) < 0.12)
+    Y = s @ gt.T + 0.4 * rng.standard_normal((N, D))
+
+    # without the relaxed pool: no donors, nothing can split
+    out0 = split_blend_sweep(Wl, Y, relaxed_dup_threshold=0.0)
+    assert not out0["splits"]
+    out = split_blend_sweep(Wl, Y)
+    assert (5, 6) in out["splits"], out["splits"]
+    W2 = out["W"]
+    gn = gt / (np.linalg.norm(gt, axis=0) + 1e-12)
+    for atom in (5, 6):
+        best = max(abs(float(gn[:, atom] @ W2[:, c]
+                             / (np.linalg.norm(W2[:, c]) + 1e-12)))
+                   for c in (5, 6))
+        assert best > 0.85, f"atom {atom} not recovered"
+    # atoms 7/8 remain covered by their untouched planted columns
+    np.testing.assert_array_equal(W2[:, 7], Wl[:, 7])
+    np.testing.assert_array_equal(W2[:, 8], Wl[:, 8])
+
+
 def test_split_blend_sweep_real_seed2():
     """Regression on the real seed-2 dictionary: the sweep must lift
     recovery from 289 to >= 296 BEFORE any polish (round-4 measurement:
