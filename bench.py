@@ -42,6 +42,19 @@ N_CPU = 2048
 #: BENCH_r04.json onward, which all measure at ITERS=10.
 ITERS = 10
 
+#: round-5 protocol finding (tools/profile_gsc_stages.py): one timed
+#: dispatch through this environment's relay costs a FIXED ~31 ms round
+#: trip regardless of how much device work it carries, so the per-dispatch
+#: protocol above (10 steps/sync) deflates every wall number by ~3 ms/step
+#: — e.g. GSC reads 12.7 M dp/s where the device executes 17.3 M.
+#: ``dps_chained`` therefore measures CHAIN_ITERS steps inside ONE jitted
+#: lax.scan (the production shape — engine.EM.run_scanned dispatches whole
+#: segments the same way), amortising the round trip to < 1%.  Both
+#: numbers are reported: ``dps`` keeps cross-round comparability
+#: (BENCH_r04 and earlier are per-dispatch), ``dps_chained`` is the
+#: production-rate headline from round 5 on.
+CHAIN_ITERS = 50
+
 #: v5e bf16 peak (the MXU rate every GEMM here runs at under default
 #: precision: bf16 multiply / f32 accumulate)
 PEAK_TFLOPS = 197.0
@@ -362,12 +375,59 @@ def _measure_step(model, params, N, iters, groups=3, data_tf=None):
     return best
 
 
-def _family_entry(dps, flops=None):
+def _measure_step_chained(model, params, N, iters=CHAIN_ITERS, groups=2,
+                          data_tf=None):
+    """Production-shaped throughput: ``iters`` EM steps chained inside ONE
+    jitted lax.scan (the shape engine.EM.run_scanned dispatches), so the
+    relay's fixed ~31 ms/dispatch round trip amortises to <1%.  The scan
+    body carries (params, F_prev) — a REAL iteration chain, nothing is
+    loop-invariant (stage-loop pitfall, see tools/profile_gsc_stages.py)."""
+    import jax
+    import jax.numpy as jnp
+    from prosper_tpu.engine.anneal import LinearAnnealing
+    from prosper_tpu.models.base import make_blank_data, sched_from_anneal
+
+    rng = np.random.default_rng(1)
+    y = rng.standard_normal((N, model.D)).astype(np.float32)
+    if data_tf is not None:
+        y = data_tf(y)
+    data = make_blank_data(y)
+    sched = sched_from_anneal(LinearAnnealing(10))
+    key = jax.random.PRNGKey(0)
+    saturated = (float(sched["beta"]) == 1.0
+                 and float(sched["prior_beta"]) == 1.0)
+    step = model.jit_step(saturated=saturated)
+
+    @jax.jit
+    def chain(p, F0):
+        def body(carry, _):
+            p_c, F_c = carry
+            p2, F2, s = step(p_c, dict(data, F_prev=F_c), sched, key)
+            return (p2, F2), s["F_mean"]
+        (p2, _), fs = jax.lax.scan(body, (p, F0), None, length=iters)
+        return fs[-1] + jnp.sum(fs) * 1e-30
+
+    out = chain(params, data["F_prev"])               # warmup/compile
+    float(np.asarray(out))
+    best = 0.0
+    for _ in range(groups):
+        t0 = time.perf_counter()
+        out = chain(params, data["F_prev"])
+        float(np.asarray(out))                        # force full sync
+        best = max(best, N * iters / (time.perf_counter() - t0))
+    return best
+
+
+def _family_entry(dps, flops=None, chained=None):
     e = {"dps": round(dps, 1)}
+    if chained:
+        e["dps_chained"] = round(chained, 1)
+    rate = chained or dps       # efficiency from the production-shaped rate
     if flops is not None:
         raw, useful = flops
-        e["tflops_raw"] = round(dps * raw / 1e12, 2)
-        e["mfu_useful_pct"] = round(100 * dps * useful / 1e12 / PEAK_TFLOPS, 2)
+        e["tflops_raw"] = round(rate * raw / 1e12, 2)
+        e["mfu_useful_pct"] = round(100 * rate * useful / 1e12 / PEAK_TFLOPS,
+                                    2)
     return e
 
 
@@ -417,7 +477,7 @@ def main():
     W0 = rng.standard_normal((D, H)).astype(np.float32)
     pi0, sigma0 = 2.0 / H, 1.0
 
-    results, families = {}, {}
+    results, results_chained, families = {}, {}, {}
 
     # ---- headline: BSC patches config, both backends ------------------------
     S_bsc = None
@@ -429,13 +489,20 @@ def main():
                 params = {"W": jnp.asarray(W0), "pi": jnp.float32(pi0),
                           "sigma": jnp.float32(sigma0)}
                 results[backend] = _measure_step(model, params, N_TPU, ITERS)
+                results_chained[backend] = _measure_step_chained(
+                    model, params, N_TPU)
             except Exception as e:                  # noqa: BLE001
                 print(f"[bench] bsc/{backend} failed: {e!r}", file=sys.stderr)
         if results:
             families["bsc"] = _family_entry(
-                max(results.values()), linear_flops_per_dp(D, H, Hp, S_bsc))
+                max(results.values()), linear_flops_per_dp(D, H, Hp, S_bsc),
+                chained=(max(results_chained.values())
+                         if results_chained else None))
             families["bsc"]["backends"] = {k: round(v, 1)
                                            for k, v in results.items()}
+            if results_chained:
+                families["bsc"]["backends_chained"] = {
+                    k: round(v, 1) for k, v in results_chained.items()}
         if len(results) == 2:
             # on-chip numerics regression (VERDICT r2 weak #5): one EM step
             # per backend on identical inputs; every updated parameter and
@@ -480,8 +547,8 @@ def main():
         try:
             cpu = fn()
             families[name]["baseline"] = {"numpy_cpu_dps": round(cpu, 1)}
-            families[name]["vs_baseline"] = round(
-                families[name]["dps"] / cpu, 1)
+            rate = families[name].get("dps_chained", families[name]["dps"])
+            families[name]["vs_baseline"] = round(rate / cpu, 1)
         except Exception as e:                      # noqa: BLE001
             print(f"[bench] baseline/{name} failed: {e!r}", file=sys.stderr)
 
@@ -498,8 +565,14 @@ def main():
                 {"y": np.random.default_rng(2).standard_normal(
                     (256, model.D)).astype(np.float32)}, seed=4)
             dps = _measure_step(model, params, N, iters, groups=2)
+            try:
+                chained = _measure_step_chained(model, params, N)
+            except Exception as e:                  # noqa: BLE001
+                print(f"[bench] {name} chained failed: {e!r}",
+                      file=sys.stderr)
+                chained = None
             fl = flops(model) if flops else None
-            families[name] = _family_entry(dps, fl)
+            families[name] = _family_entry(dps, fl, chained=chained)
             if backend_note:
                 families[name]["backend"] = backend_note
         except Exception as e:                      # noqa: BLE001
@@ -531,12 +604,14 @@ def main():
         # N=65536 was dominated by this environment's per-dispatch relay
         # cost — the production regime (1e6 datapoints/iteration) chains
         # 122+ chunks per dispatch, which this batch size approximates.
-        bks = {}
+        bks, bks_ch = {}, {}
         for backend in ("pallas", "xla"):
             try:
                 # round 5: the merged-GEMM scan shifted the XLA optimum to
                 # s_block=1024 (swept on chip: 512 -> 12.7 M, 1024 -> 13.4,
-                # 2048 -> 13.1); the fused kernel keeps its tuned 512 tile
+                # 2048 -> 13.1); the fused kernel's fully-folded form
+                # (bias/mask/mass in the GEMMs) prefers the 1024 lane tile
+                # but still trails the scan by ~6% (BASELINE.md round 5)
                 model = TSC(64, 32, 10, 5, chunk=8192,
                             s_block=1024 if backend == "xla" else 512,
                             backend=backend)
@@ -545,11 +620,15 @@ def main():
                         (256, model.D)).astype(np.float32)}, seed=4)
                 bks[backend] = _measure_step(model, params, 524288, 2,
                                              groups=2)
+                bks_ch[backend] = _measure_step_chained(
+                    model, params, 524288, iters=12)
             except Exception as e:                  # noqa: BLE001
                 print(f"[bench] tsc_bigs/{backend} failed: {e!r}",
                       file=sys.stderr)
         if bks:
-            families["tsc_bigs"] = _family_entry(max(bks.values()))
+            families["tsc_bigs"] = _family_entry(
+                max(bks.values()),
+                chained=(max(bks_ch.values()) if bks_ch else None))
             families["tsc_bigs"]["backends"] = {k: round(v, 1)
                                                 for k, v in bks.items()}
         attach_baseline("tsc_bigs", lambda: numpy_linear_baseline_dps(
@@ -579,7 +658,7 @@ def main():
     for name, cls in (("mca", MCA), ("mmca", MMCA)):
         if not want(name):
             continue
-        bks = {}
+        bks, bks_ch = {}, {}
         model = None
         for backend in ("pallas", "xla"):
             try:
@@ -589,13 +668,16 @@ def main():
                         (256, model.D)).astype(np.float32)}, seed=4)
                 bks[backend] = _measure_step(model, params, 131072, ITERS,
                                              groups=2)
+                bks_ch[backend] = _measure_step_chained(model, params,
+                                                        131072)
             except Exception as e:                  # noqa: BLE001
                 print(f"[bench] {name}/{backend} failed: {e!r}",
                       file=sys.stderr)
         if bks:
             families[name] = _family_entry(
                 max(bks.values()),
-                max_flops_per_dp(D, H, 6, model.sa.states.shape[0]))
+                max_flops_per_dp(D, H, 6, model.sa.states.shape[0]),
+                chained=(max(bks_ch.values()) if bks_ch else None))
             families[name]["backends"] = {k: round(v, 1)
                                           for k, v in bks.items()}
         attach_baseline(name, lambda name=name: numpy_max_baseline_dps(
@@ -633,9 +715,17 @@ def main():
             params = model.standard_init({"y": y0}, seed=6)
             tf = ((lambda y: np.abs(np.floor(y * 3)).astype(np.float32))
                   if mix_name == "mop" else None)
+            try:
+                mix_ch = _measure_step_chained(model, params, 524288,
+                                               data_tf=tf)
+            except Exception as e:                  # noqa: BLE001
+                print(f"[bench] {mix_name} chained failed: {e!r}",
+                      file=sys.stderr)
+                mix_ch = None
             families[mix_name] = _family_entry(
                 _measure_step(model, params, 524288, ITERS, groups=2,
-                              data_tf=tf), mix_flops_per_dp(D, H))
+                              data_tf=tf), mix_flops_per_dp(D, H),
+                chained=mix_ch)
             attach_baseline(mix_name, lambda: numpy_mix_baseline_dps(
                 _cpu_y(16384, D), H, kind=mix_name))
         except Exception as e:                      # noqa: BLE001
@@ -693,17 +783,24 @@ def main():
             (N_CPU, D)).astype(np.float64)
         cpu_dps = numpy_baseline_dps(y_cpu, W0.astype(np.float64),
                                      sigma0, pi0)
+        # headline value = the production-shaped (chained-scan) rate from
+        # round 5 on; the per-dispatch rate rides along for cross-round
+        # comparability with BENCH_r01-r04 (see the CHAIN_ITERS note above)
+        tpu_disp = max(results.values())
+        tpu_dps = max(results_chained.values()) if results_chained \
+            else tpu_disp
         if "bsc" in families:
             families["bsc"]["baseline"] = {"numpy_cpu_dps": round(cpu_dps, 1)}
-            families["bsc"]["vs_baseline"] = round(
-                max(results.values()) / cpu_dps, 1)
-        tpu_dps = max(results.values())
+            families["bsc"]["vs_baseline"] = round(tpu_dps / cpu_dps, 1)
         raw, useful = linear_flops_per_dp(D, H, Hp, S_bsc)
         out = {
             "metric": ("BSC-ET E-step throughput "
                        "(patches config D=256 H=300 Hp=8 gamma=4)"),
             "value": round(tpu_dps, 1),
             "unit": "datapoints/s/chip",
+            "protocol": f"chained_scan_{CHAIN_ITERS}" if results_chained
+                        else "per_dispatch_10",
+            "value_per_dispatch": round(tpu_disp, 1),
             "vs_baseline": round(tpu_dps / cpu_dps, 2),
             "baseline": {"numpy_cpu_dps": round(cpu_dps, 1)},
             "tflops_raw": round(tpu_dps * raw / 1e12, 2),

@@ -100,6 +100,15 @@ def run_restarts(build_em, n_restarts: int, scanned: bool = True):
     mean free energy is the classic remedy (VERDICT r1 next-round #6's
     first lever — complementary to the online revival/splitting escapes).
 
+    Measured head-to-head (round 5, BASELINE.md "run_restarts vs the
+    recovery protocol"): for the linear-family dictionary-recovery
+    protocol this is SUPERSEDED — best-of-2 restarts (240 iters) reached
+    298/300 in 1051 s where one protocol run (revival + reseed + sweeps,
+    ~190 iters) reached 300/300 in 404 s; independent inits land in the
+    same blend-limited basin.  Kept for genuinely multi-modal model
+    selection (e.g. MoG/MoP cluster counts) where basin diversity is the
+    point.
+
     ``build_em(i)`` must return a FRESH ``EM`` (model/anneal/data wiring,
     seeded per restart) — annealing schedules are stateful, so they cannot
     be shared across restarts.  Returns ``(best_params, summary)`` with

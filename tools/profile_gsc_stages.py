@@ -29,7 +29,13 @@ from prosper_tpu.engine.anneal import LinearAnnealing
 from prosper_tpu.models.base import make_blank_data, sched_from_anneal
 from prosper_tpu.models.gsc import GSC
 
-N, CHUNK, REPS = 131072, 8192, 10
+N, CHUNK = 131072, 8192
+# REPS is the in-jit scan length; the per-dispatch relay/launch latency is
+# amortised 1/REPS, so at REPS=10 a ~25 ms relay round-trip masquerades as
+# ~2.5 ms/stage (the round-5 first cut of this table mis-attributed exactly
+# that to the mask/M-step stages).  Default higher + report the measured
+# floor from an empty loop.
+REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 50
 
 
 def timeit(fn, *args):
@@ -86,6 +92,14 @@ def main():
         c, fs = jax.lax.scan(body, jnp.float32(0.0), None, length=REPS)
         return c + jnp.sum(fs)
 
+    # dispatch floor: a scan of the same length whose body is one trivial op
+    @jax.jit
+    def empty_loop(c0):
+        def body(c, _):
+            return c + 1e-30 * c, c
+        c, cs = jax.lax.scan(body, c0, None, length=REPS)
+        return c + jnp.sum(cs) * 0.0
+
     full = model.jit_step(saturated=True)
 
     @jax.jit
@@ -97,16 +111,22 @@ def main():
         (p, d), fs = jax.lax.scan(body, (params, data), None, length=REPS)
         return jnp.sum(fs) + jnp.sum(p["W"]) * 0.0
 
+    t_0 = timeit(empty_loop, jnp.float32(1.0))
     t_e = timeit(estep_loop, params, y)
     t_m = timeit(mask_loop, params, data)
     t_s = timeit(mstep_loop, params, sums0)
     t_f = timeit(full_loop, params, data)
-    print(f"[gsc-stages] estep {t_e*1e3:7.2f} ms ({N/t_e/1e6:5.1f} M dp/s)")
-    print(f"[gsc-stages] mask  {t_m*1e3:7.2f} ms")
-    print(f"[gsc-stages] mstep {t_s*1e3:7.2f} ms")
-    print(f"[gsc-stages] full  {t_f*1e3:7.2f} ms ({N/t_f/1e6:5.1f} M dp/s)")
-    print(f"[gsc-stages] overlap/overhead: "
-          f"{(t_f - t_e - t_m - t_s)*1e3:+.2f} ms")
+    print(f"[gsc-stages] REPS={REPS} dispatch floor {t_0*1e3:7.3f} ms/rep "
+          f"({t_0*REPS*1e3:.1f} ms/dispatch)")
+    for tag, t in [("estep", t_e), ("mask ", t_m), ("mstep", t_s),
+                   ("full ", t_f)]:
+        net = t - t_0
+        rate = f" ({N/net/1e6:5.1f} M dp/s net)" if tag in ("estep", "full ") \
+            else ""
+        print(f"[gsc-stages] {tag} {t*1e3:7.2f} ms raw | {net*1e3:7.2f} ms "
+              f"net{rate}")
+    print(f"[gsc-stages] full - (e+m+s) net: "
+          f"{(t_f - t_e - t_m - t_s + 2 * t_0)*1e3:+.2f} ms")
 
 
 if __name__ == "__main__":
