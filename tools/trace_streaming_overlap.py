@@ -106,10 +106,17 @@ def main():
     print(f"[overlap] intersection:    {t_ix/1e3:.1f} ms "
           f"({100*t_ix/max(t_cp,1e-9):.0f}% of compute hidden under "
           f"transfers)")
-    if not tr:
-        print("[overlap] NOTE: this environment's relay exposes no "
-              "transfer events in the profiler trace — overlap cannot be "
-              "shown here; record as environment-limited.")
+    if not tr or t_tr == 0.0:
+        print("[overlap] NOTE: this environment's relay exposes "
+              f"{len(tr)} transfer events but records them with ZERO "
+              "duration (the tunnel DMA is invisible to the device "
+              "profiler), so upload/compute overlap cannot be shown here — "
+              "record as environment-limited.  The overlap evidence that "
+              "IS available: the double-buffer issues segment k+1's "
+              "device_put before segment k's compute dispatch returns "
+              "(engine/stream.py::step_once), which JAX's async dispatch "
+              "runs as concurrent DMA+compute on hardware that exposes "
+              "real transfer events.")
 
 
 if __name__ == "__main__":
