@@ -398,21 +398,28 @@ def _measure_step_chained(model, params, N, iters=CHAIN_ITERS, groups=2,
                  and float(sched["prior_beta"]) == 1.0)
     step = model.jit_step(saturated=saturated)
 
+    # data rides as jit ARGUMENTS: closing over the (N, D) array would
+    # embed it as an HLO literal and ship it with every remote-compile
+    # request (measured: the MoG chain's 512 MB module bounced off the
+    # compile helper with HTTP 413; the smaller families quietly paid
+    # ~128 MB per compile upload)
     @jax.jit
-    def chain(p, F0):
+    def chain(p, d):
         def body(carry, _):
             p_c, F_c = carry
-            p2, F2, s = step(p_c, dict(data, F_prev=F_c), sched, key)
+            p2, F2, s = step(p_c, dict(d, F_prev=F_c), sched, key)
             return (p2, F2), s["F_mean"]
-        (p2, _), fs = jax.lax.scan(body, (p, F0), None, length=iters)
+        (p2, _), fs = jax.lax.scan(body, (p, d["F_prev"]), None,
+                                   length=iters)
         return fs[-1] + jnp.sum(fs) * 1e-30
 
-    out = chain(params, data["F_prev"])               # warmup/compile
+    data = {k: jnp.asarray(v) for k, v in data.items()}
+    out = chain(params, data)                         # warmup/compile
     float(np.asarray(out))
     best = 0.0
     for _ in range(groups):
         t0 = time.perf_counter()
-        out = chain(params, data["F_prev"])
+        out = chain(params, data)
         float(np.asarray(out))                        # force full sync
         best = max(best, N * iters / (time.perf_counter() - t0))
     return best
@@ -556,7 +563,8 @@ def main():
         return np.random.default_rng(seed).standard_normal((n, d))
 
     # ---- family matrix (BASELINE.md row configs) ----------------------------
-    def run_family(name, factory, N, iters=5, flops=None, backend_note=None):
+    def run_family(name, factory, N, iters=5, flops=None, backend_note=None,
+                   with_chained=True):
         if not want(name):
             return
         try:
@@ -565,12 +573,13 @@ def main():
                 {"y": np.random.default_rng(2).standard_normal(
                     (256, model.D)).astype(np.float32)}, seed=4)
             dps = _measure_step(model, params, N, iters, groups=2)
-            try:
-                chained = _measure_step_chained(model, params, N)
-            except Exception as e:                  # noqa: BLE001
-                print(f"[bench] {name} chained failed: {e!r}",
-                      file=sys.stderr)
-                chained = None
+            chained = None
+            if with_chained:
+                try:
+                    chained = _measure_step_chained(model, params, N)
+                except Exception as e:              # noqa: BLE001
+                    print(f"[bench] {name} chained failed: {e!r}",
+                          file=sys.stderr)
             fl = flops(model) if flops else None
             families[name] = _family_entry(dps, fl, chained=chained)
             if backend_note:
@@ -648,7 +657,8 @@ def main():
         mu=1.0, psi=0.25, Hp=6, gamma=3))
     run_family("gsc_small", lambda: GSC(64, 100, 6, 3, chunk=8192), 262144,
                iters=ITERS, flops=lambda m: gsc_flops_per_dp(
-                   64, 100, 6, m.sa.states.shape[0]))
+                   64, 100, 6, m.sa.states.shape[0]),
+               with_chained=False)
     attach_baseline("gsc_small", lambda: numpy_gsc_baseline_dps(
         _cpu_y(N_CPU, 64),
         np.random.default_rng(2).standard_normal((64, 100)), sigma0, pi0,
@@ -693,7 +703,7 @@ def main():
             262144, iters=ITERS,
             flops=lambda m: max_flops_per_dp(64, 100, 6,
                                              m.sa.states.shape[0]),
-            backend_note="pallas")
+            backend_note="pallas", with_chained=False)
         attach_baseline(name, lambda name=name: numpy_max_baseline_dps(
             _cpu_y(1024, 64),
             np.random.default_rng(2).standard_normal((64, 100)), sigma0,

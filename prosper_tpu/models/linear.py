@@ -117,6 +117,16 @@ class LinearETModel(ETModel):
         # kernel instead (ops/bigs_pallas.py — VERDICT r2 #5).
         # (round 3: pallas_bigs composes with state sharding — each shard
         # runs the fused kernel over its local padded state slice)
+        # Round-5 measurement (BASELINE.md "The Pallas route, taken to its
+        # end"): the XLA merged-GEMM scan now beats the kernel in BOTH
+        # regimes (saturated 0.614 vs 0.649 ms/chunk; annealed 0.78 vs
+        # 0.97) — backend='xla' is the recommended big-S configuration and
+        # 'pallas' stays an explicit opt-in.  The flag deliberately does
+        # NOT route on `saturated`: the engine flips that flag mid-run
+        # when the schedule saturates, and the saturated step must stay
+        # bit-identical to the annealed step at beta == prior_beta == 1
+        # (tests/test_saturated.py) — switching backends there would break
+        # that trajectory contract for roundoff-level gain.
         use_pallas_bigs = (self.backend == "pallas" and self.s_block > 0
                            and not self.learn_phi)
         use_pallas = (self.backend == "pallas" and state_axis is None

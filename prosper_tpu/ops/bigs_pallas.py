@@ -157,7 +157,7 @@ def bigs_multi_pallas(proj: jnp.ndarray, Gf: jnp.ndarray,
                       vcounts_p: jnp.ndarray, prior: jnp.ndarray,
                       valid: jnp.ndarray, absst_p: jnp.ndarray,
                       inv2s2, beta, prior_beta, s_block: int,
-                      tile: int = 512, interpret: bool = False,
+                      tile: int = 1024, interpret: bool = False,
                       collect_true: bool = True, precise: bool = False,
                       exp_impl: str = "exp"
                       ) -> Tuple[jnp.ndarray, ...]:

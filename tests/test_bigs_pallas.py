@@ -74,13 +74,15 @@ def test_bigs_pallas_bf16_policy_close():
                                    rtol=1e-2, atol=5e-2, err_msg=k)
 
 
+@pytest.mark.parametrize("saturated", [False, True])
 @pytest.mark.parametrize("precise", [True, False])
-def test_bigs_pallas_model_step_wiring(precise):
+def test_bigs_pallas_model_step_wiring(precise, saturated):
     """backend='pallas' + s_block routes the jit_step through the fused
-    kernel and matches the XLA model, zero-weight rows included.  precise
-    verifies the algebra at tight tolerance; precise=False covers the
-    PRODUCTION bf16-operand policy through the model wiring (ADVICE r3)
-    at bf16-roundoff tolerances."""
+    kernel and matches the XLA model, zero-weight rows included — in BOTH
+    step specializations (saturated drops the kernel's un-annealed
+    channel; annealed runs it).  precise verifies the algebra at tight
+    tolerance; precise=False covers the PRODUCTION bf16-operand policy
+    through the model wiring (ADVICE r3) at bf16-roundoff tolerances."""
     from prosper_tpu.engine.anneal import LinearAnnealing
     from prosper_tpu.models.base import make_blank_data, sched_from_anneal
     from prosper_tpu.models.linear import TSC
@@ -98,7 +100,8 @@ def test_bigs_pallas_model_step_wiring(precise):
             params = m.standard_init({"y": y}, seed=5)
         data = make_blank_data(y, valid=np.r_[np.ones(80), np.zeros(16)])
         sched = sched_from_anneal(LinearAnnealing(10))
-        p, F, s = m.jit_step()(params, data, sched, jax.random.PRNGKey(0))
+        p, F, s = m.jit_step(saturated=saturated)(params, data, sched,
+                                                  jax.random.PRNGKey(0))
         outs[backend] = (p, np.asarray(F), np.asarray(s["F_mean"]))
     rt, at = (1e-4, 1e-5) if precise else (5e-3, 1e-2)
     for k in outs["xla"][0]:
